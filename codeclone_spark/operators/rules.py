@@ -1,0 +1,353 @@
+"""Declarative rule registry + single-pass evaluation.
+
+Modeled on the reference's ``METRIC_FAMILIES`` registry
+(``metrics/registry.py:678-783``): each family supplies a *compute* (partial,
+per-partition) and an *aggregate* (final) step plus baseline/gate keys.  Here:
+
+- **Row rules** are (predicate, observed, expected) column triples over the
+  facts frame.  ALL row rules evaluate in ONE scan: each rule becomes a
+  ``when(pred, struct(...))`` element of an array column that is filtered and
+  exploded — no per-rule unions, no repeated scans.  At 100 TB this is the
+  difference between 1 pass and N passes.
+- **Partition aggregates** (counts, null counts, min/max/mean, histogram
+  partials) compute in ONE ``groupBy("part")`` — Spark's partial+final hash
+  aggregation is exactly the reference's compute/aggregate fold.
+- **Uniqueness** is its own shuffle (groupBy clip_id) — exact, like the
+  reference's exact fingerprint grouping (``findings/clones/grouping.py:38-45``).
+
+Rule-id scheme mirrors ``findings/ids.py:10-23``: ``family:detail[:column]``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from codeclone_spark.functions.audio import DUR_TOLERANCE_MS, SNR_MIN_DB
+
+ALLOWED_SR = [8000, 16000, 22050, 44100, 48000]
+ALLOWED_CODECS = ["pcm_s16le", "flac", "mp3", "vorbis"]
+DUR_BOUNDS_MS = (50, 60_000)
+
+# Fixed histogram bin edges (baseline drift contract; bin design follows the
+# reference's log-scaled cluster-size buckets, analytics/partition_metrics.py:72-88).
+DUR_BIN_EDGES = [0.0, 250.0, 400.0, 600.0, 900.0, 1400.0, 2100.0, 3200.0, 1e9]
+
+
+@dataclass(frozen=True)
+class RowRule:
+    """A row-level violation rule over the facts frame."""
+
+    rule_id: str
+    predicate: Column
+    observed: Column
+    expected: str
+    # applicability guard: rows where the rule simply doesn't apply
+    applicable: Column | None = None
+
+
+def _s(c: Column) -> Column:
+    return c.cast("string")
+
+
+def row_rules() -> list[RowRule]:
+    """The registry. Order is part of the output contract (deterministic)."""
+    return [
+        RowRule(
+            "audio:undecodable",
+            F.col("error_kind").isNotNull(),
+            F.col("error_kind"),
+            "decodable audio payload",
+        ),
+        RowRule(
+            "audio:len_consistency",
+            F.abs(F.col("decoded_dur_ms") - F.col("dur_ms")) > DUR_TOLERANCE_MS,
+            F.concat_ws(
+                "",
+                F.lit("decoded_dur_ms="),
+                F.round("decoded_dur_ms", 2).cast("string"),
+            ),
+            f"within {DUR_TOLERANCE_MS:g}ms of header dur_ms",
+            applicable=F.col("decoded_dur_ms").isNotNull()
+            & F.col("dur_ms").isNotNull(),
+        ),
+        RowRule(
+            "audio:snr",
+            F.col("snr_db") < SNR_MIN_DB,
+            F.concat_ws("", F.lit("snr_db="), F.round("snr_db", 2).cast("string")),
+            f"SNR >= {SNR_MIN_DB:g} dB vs fixture PCM",
+            applicable=F.col("snr_db").isNotNull(),
+        ),
+        RowRule(
+            "audio:transcript_eq",
+            ~F.col("transcript_match"),
+            F.col("transcript"),
+            "exact (NFC) match with fixture transcript",
+            # null/empty transcripts belong to stats:null:transcript, not here
+            applicable=F.col("transcript_match").isNotNull()
+            & F.col("transcript").isNotNull()
+            & (F.length("transcript") > 0),
+        ),
+        RowRule(
+            "ref:fixture_missing",
+            F.col("fixture_status") == "missing_fixture",
+            F.lit("missing_fixture"),
+            "fixture row present for clip_id",
+        ),
+        RowRule(
+            "stats:null:dur_ms",
+            F.col("dur_ms").isNull(),
+            F.lit("<null>"),
+            "non-null dur_ms",
+        ),
+        RowRule(
+            "stats:null:transcript",
+            F.col("transcript").isNull() | (F.length("transcript") == 0),
+            F.when(F.col("transcript").isNull(), F.lit("<null>")).otherwise(
+                F.lit("<empty>")
+            ),
+            "non-empty transcript",
+        ),
+        RowRule(
+            "stats:range:dur_ms",
+            (F.col("dur_ms") < DUR_BOUNDS_MS[0]) | (F.col("dur_ms") > DUR_BOUNDS_MS[1]),
+            _s(F.col("dur_ms")),
+            f"dur_ms in [{DUR_BOUNDS_MS[0]}, {DUR_BOUNDS_MS[1]}]",
+            applicable=F.col("dur_ms").isNotNull(),
+        ),
+        RowRule(
+            "stats:domain:sr_hz",
+            ~F.col("sr_hz").isin(ALLOWED_SR),
+            _s(F.col("sr_hz")),
+            f"sr_hz in {ALLOWED_SR}",
+            applicable=F.col("sr_hz").isNotNull(),
+        ),
+        RowRule(
+            "stats:domain:codec",
+            ~F.col("codec").isin(ALLOWED_CODECS),
+            F.coalesce(F.col("codec"), F.lit("<null>")),
+            f"codec in {ALLOWED_CODECS}",
+        ),
+    ]
+
+
+# Static id list (row_rules() builds Column exprs and needs a live session)
+ROW_RULE_IDS = [
+    "audio:undecodable",
+    "audio:len_consistency",
+    "audio:snr",
+    "audio:transcript_eq",
+    "ref:fixture_missing",
+    "stats:null:dur_ms",
+    "stats:null:transcript",
+    "stats:range:dur_ms",
+    "stats:domain:sr_hz",
+    "stats:domain:codec",
+]
+# Rules evaluated outside the single row pass (their own shuffle / driver step)
+TABLE_RULE_IDS = ["uniq:clip_id"]
+DRIFT_RULE_IDS = ["drift:psi:dur_ms", "drift:ks:dur_ms", "drift:psi:sr_hz"]
+
+
+def evaluate_row_rules(facts: DataFrame) -> DataFrame:
+    """ONE pass: facts -> violations(rule_id, partition, clip_id, observed,
+    expected).  Builds an array of nullable violation structs, drops nulls,
+    explodes.  Catalyst keeps this inside a single WholeStageCodegen project +
+    generate — no joins, no extra shuffles."""
+    elems = []
+    for r in row_rules():
+        pred = r.predicate
+        if r.applicable is not None:
+            pred = r.applicable & pred
+        elems.append(
+            F.when(
+                pred,
+                F.struct(
+                    F.lit(r.rule_id).alias("rule_id"),
+                    F.coalesce(r.observed.cast("string"), F.lit("<null>")).alias(
+                        "observed"
+                    ),
+                    F.lit(r.expected).alias("expected"),
+                ),
+            )
+        )
+    arr = F.filter(F.array(*elems), lambda x: x.isNotNull())
+    return (
+        facts.select(
+            F.col("part").alias("partition"),
+            F.col("clip_id"),
+            F.explode(arr).alias("v"),
+        )
+        .select(
+            F.col("v.rule_id").alias("rule_id"),
+            "partition",
+            "clip_id",
+            F.col("v.observed").alias("observed"),
+            F.col("v.expected").alias("expected"),
+        )
+    )
+
+
+def evaluate_uniqueness(facts: DataFrame) -> DataFrame:
+    """Exact duplicate detection on clip_id (reference ``build_groups``
+    grouping.py:38-45 keeps groups with size > 1).  clip_id is a high-card
+    uniform hash key, so this shuffle has no skew; map-side partial counts
+    make it one efficient exchange."""
+    dups = (
+        facts.groupBy("clip_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("part").alias("partition"),  # deterministic representative
+        )
+        .filter(F.col("n") > 1)
+    )
+    return dups.select(
+        F.lit("uniq:clip_id").alias("rule_id"),
+        F.col("partition"),
+        F.col("clip_id"),
+        F.concat_ws("", F.lit("count="), F.col("n").cast("string")).alias("observed"),
+        F.lit("unique clip_id").alias("expected"),
+    )
+
+
+# ------------------------------------------------------ partition partials --
+def _hist_expr(col: str, edges: list[float]) -> Column:
+    """Mergeable histogram partial: array<long> of per-bin counts."""
+    buckets = []
+    for i in range(len(edges) - 1):
+        lo, hi = edges[i], edges[i + 1]
+        buckets.append(
+            F.sum(
+                F.when(
+                    F.col(col).isNotNull()
+                    & (F.col(col) >= lo)
+                    & (F.col(col) < hi),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+        )
+    return F.array(*buckets)
+
+
+def partition_aggregates(facts: DataFrame) -> DataFrame:
+    """All per-partition stats in ONE groupBy (partial+final hash agg).
+    Histogram partials are mergeable arrays so drift can be computed from
+    the ledger across resumable waves without rescanning data."""
+    sr_cats = [F.sum((F.col("sr_hz") == v).cast("long")).alias(f"sr_{v}") for v in ALLOWED_SR]
+    return facts.groupBy("part").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("dur_ms").isNull().cast("long")).alias("dur_null"),
+        F.sum(
+            (F.col("transcript").isNull() | (F.length("transcript") == 0)).cast("long")
+        ).alias("transcript_null"),
+        F.min("dur_ms").alias("dur_min"),
+        F.max("dur_ms").alias("dur_max"),
+        F.avg("dur_ms").alias("dur_mean"),
+        F.avg("rms").alias("rms_mean"),
+        F.sum((~F.col("decode_ok")).cast("long")).alias("undecodable"),
+        F.approx_count_distinct("clip_id").alias("approx_ndv"),
+        _hist_expr("dur_ms", DUR_BIN_EDGES).alias("dur_hist"),
+        *sr_cats,
+    )
+
+
+@dataclass(frozen=True)
+class GateConfig:
+    """Per-rule violation budgets (reference ``MetricGateConfig`` /
+    ``report/gates/evaluator.py``).  ``max_count`` is an absolute cap,
+    ``max_permille`` a rate cap — a rule fails its partition when EITHER is
+    exceeded.  Defaults are strict (0 tolerance) like ``--ci`` mode."""
+
+    max_count: dict[str, int] = field(default_factory=dict)
+    max_permille: dict[str, float] = field(default_factory=dict)
+    # drift gates
+    psi_max: float = 0.25
+    ks_max: float = 0.25
+
+    def budget(self, rule_id: str) -> tuple[int, float]:
+        return (
+            int(self.max_count.get(rule_id, 0)),
+            float(self.max_permille.get(rule_id, 0.0)),
+        )
+
+
+def build_verdicts(
+    violation_counts: DataFrame,
+    partition_rows: DataFrame,
+    gates: GateConfig,
+    accepted: set[str] | None = None,
+) -> DataFrame:
+    """(partition, rule_id) -> pass/reason/novelty.
+
+    *violation_counts*: (partition, rule_id, n_viol, n_new) where n_new counts
+    violations NOT in the baseline accepted set.  *partition_rows*: (part,
+    rows).  Every (partition x row rule) pair gets a verdict (dense grid), so
+    a clean partition still asserts an explicit pass — the reference's gate
+    evaluator enumerates every configured gate the same way."""
+    spark = violation_counts.sparkSession
+    all_rules = ROW_RULE_IDS + TABLE_RULE_IDS
+    rules_df = spark.createDataFrame([(r,) for r in all_rules], ["rule_id"])
+    grid = partition_rows.select(
+        F.col("part").alias("partition"), "rows"
+    ).crossJoin(F.broadcast(rules_df))
+
+    j = grid.join(violation_counts, ["partition", "rule_id"], "left").fillna(
+        {"n_viol": 0, "n_new": 0}
+    )
+
+    budget_count = F.create_map(
+        *[x for r in all_rules for x in (F.lit(r), F.lit(gates.budget(r)[0]))]
+    )
+    budget_pm = F.create_map(
+        *[x for r in all_rules for x in (F.lit(r), F.lit(gates.budget(r)[1]))]
+    )
+    max_n = budget_count[F.col("rule_id")]
+    max_pm = budget_pm[F.col("rule_id")]
+    permille = F.round(F.col("n_viol") * 1000.0 / F.greatest(F.col("rows"), F.lit(1)), 3)
+    # Accepted (baseline-known) violations don't trip the gate: only NEW ones
+    # count against the budget (reference diff-gating: fail_on_new).
+    eff = F.col("n_new")
+    eff_pm = F.round(eff * 1000.0 / F.greatest(F.col("rows"), F.lit(1)), 3)
+    passed = (eff <= max_n) | (eff_pm <= max_pm)
+
+    reason = F.when(
+        passed & (F.col("n_viol") == 0),
+        F.concat_ws("", F.col("rule_id"), F.lit(": ok (0 violations)")),
+    ).when(
+        passed,
+        F.format_string(
+            "%s: ok (%d violation(s), %d new, within budget)",
+            F.col("rule_id"),
+            F.col("n_viol"),
+            eff,
+        ),
+    ).otherwise(
+        F.format_string(
+            "%s: %d new violation(s) (%s permille) exceed budget (max_count=%d, max_permille=%s)",
+            F.col("rule_id"),
+            eff,
+            eff_pm.cast("string"),
+            max_n,
+            max_pm.cast("string"),
+        )
+    )
+    novelty = F.when(F.col("n_new") > 0, F.lit("new")).otherwise(F.lit("known"))
+    return j.select(
+        "partition",
+        "rule_id",
+        passed.alias("pass"),
+        reason.alias("reason"),
+        novelty.alias("novelty"),
+    )
+
+
+def violation_key(df: DataFrame) -> Column:
+    """Stable identity of a violation for baseline accepted-set matching
+    (analog of the reference's sorted clone-group id sets,
+    clone_baseline.py:511-527)."""
+    return F.concat_ws(
+        "|", df["rule_id"], df["partition"], F.coalesce(df["clip_id"], F.lit("-"))
+    )

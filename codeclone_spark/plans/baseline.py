@@ -1,0 +1,144 @@
+"""Baseline snapshot: persisted accepted-state with integrity + trust.
+
+Contract mirrors the reference baseline (``baseline/clone_baseline.py``):
+versioned meta + ``payload_sha256`` recomputed on load and compared with
+``hmac.compare_digest`` (clone_baseline.py:316-359).  An untrusted baseline
+*degrades* (drift checks disabled, warning) unless gating is requested, in
+which case the run *fails closed* with a contract error
+(surfaces/cli/baseline_state.py:138-170).
+
+Shape (FIXTURES.md §3)::
+
+    meta: {generator {name, version}, schema_version, engine_version,
+           created_at, payload_sha256}
+    stats: per column -> {count, null_permille, min, max, mean,
+                          quantiles {p50, p95, p99}}
+    histograms: {dur_ms: {bin_edges, counts}, sr_hz: {values, counts}}
+    uniqueness: {clip_id_approx_ndv, clip_id_exact_dup_groups}
+    accepted_violations: [violation_key, ...]
+
+Drift math (KS / PSI) runs on the tiny collected histogram frames on the
+driver — never a distributed op; the distributed part is the mergeable
+histogram partials in ``partition_aggregates``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import json
+import math
+import os
+from dataclasses import dataclass
+from typing import Any
+
+from codeclone_spark import BASELINE_SCHEMA_VERSION, ENGINE_NAME, ENGINE_VERSION
+
+MAX_BASELINE_BYTES = 8 * 1024 * 1024  # bounded read (contracts/__init__.py:82)
+DEFAULT_CREATED_AT = "1970-01-01T00:00:00Z"  # deterministic unless caller stamps
+
+
+def _canonical(payload: dict[str, Any]) -> bytes:
+    return json.dumps(payload, sort_keys=True, separators=(",", ":")).encode()
+
+
+def payload_sha256(payload: dict[str, Any]) -> str:
+    return hashlib.sha256(_canonical(payload)).hexdigest()
+
+
+@dataclass(frozen=True)
+class Trust:
+    trusted: bool
+    reason: str
+
+
+def write_baseline(
+    path: str,
+    stats: dict[str, Any],
+    histograms: dict[str, Any],
+    uniqueness: dict[str, Any],
+    accepted_violations: list[str],
+    created_at: str = DEFAULT_CREATED_AT,
+) -> dict[str, Any]:
+    payload = {
+        "stats": stats,
+        "histograms": histograms,
+        "uniqueness": uniqueness,
+        "accepted_violations": sorted(accepted_violations),
+    }
+    doc = {
+        "meta": {
+            "generator": {"name": ENGINE_NAME, "version": ENGINE_VERSION},
+            "schema_version": BASELINE_SCHEMA_VERSION,
+            "engine_version": ENGINE_VERSION,
+            "created_at": created_at,
+            "payload_sha256": payload_sha256(payload),
+        },
+        **payload,
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:  # atomic (reference _atomic_write_json)
+        json.dump(doc, f, sort_keys=True, indent=1)
+    os.replace(tmp, path)
+    return doc
+
+
+def load_baseline(path: str) -> tuple[dict[str, Any] | None, Trust]:
+    """Returns (snapshot, trust). snapshot is None when absent/unreadable.
+    Trust semantics: missing -> untrusted('missing'); tampered/mismatched ->
+    untrusted with reason; caller decides degrade vs fail-closed."""
+    if not os.path.exists(path):
+        return None, Trust(False, "baseline missing")
+    if os.path.getsize(path) > MAX_BASELINE_BYTES:
+        return None, Trust(False, "baseline exceeds size bound")
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        return None, Trust(False, f"baseline unreadable: {e}")
+
+    meta = doc.get("meta")
+    if not isinstance(meta, dict):
+        return None, Trust(False, "baseline meta missing")
+    if meta.get("schema_version") != BASELINE_SCHEMA_VERSION:
+        return doc, Trust(
+            False,
+            f"schema_version mismatch: {meta.get('schema_version')!r} != "
+            f"{BASELINE_SCHEMA_VERSION!r}",
+        )
+    required = ("stats", "histograms", "uniqueness", "accepted_violations")
+    if any(k not in doc for k in required):
+        return doc, Trust(False, "baseline payload keys missing")
+    payload = {k: doc[k] for k in required}
+    expect = meta.get("payload_sha256", "")
+    actual = payload_sha256(payload)
+    if not hmac.compare_digest(str(expect), actual):
+        return doc, Trust(False, "payload_sha256 mismatch (tampered baseline)")
+    return doc, Trust(True, "ok")
+
+
+# ------------------------------------------------------------------ drift --
+def psi(expected: list[int], observed: list[int], eps: float = 1e-6) -> float:
+    """Population Stability Index over aligned histogram bins."""
+    te = float(sum(expected)) or 1.0
+    to = float(sum(observed)) or 1.0
+    val = 0.0
+    for e, o in zip(expected, observed):
+        pe = max(e / te, eps)
+        po = max(o / to, eps)
+        val += (po - pe) * math.log(po / pe)
+    return val
+
+
+def ks_stat(expected: list[int], observed: list[int]) -> float:
+    """Two-sample KS statistic approximated from aligned histogram CDFs."""
+    te = float(sum(expected)) or 1.0
+    to = float(sum(observed)) or 1.0
+    ce = co = 0.0
+    d = 0.0
+    for e, o in zip(expected, observed):
+        ce += e / te
+        co += o / to
+        d = max(d, abs(ce - co))
+    return d

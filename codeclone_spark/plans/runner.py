@@ -1,0 +1,426 @@
+"""End-to-end validation run: the reference pipeline re-expressed on Spark.
+
+Stage map (reference §3.1 lifecycle -> ours):
+
+1. bootstrap       -> RunConfig
+2. discover        -> partition listing minus ledger's done set (pruning)
+3. process (map)   -> facts stage: clips ⟕ fixtures -> fused decode UDF
+4. analyze (reduce)-> one-pass row rules, one-groupBy partition partials,
+                      global exact uniqueness (column-pruned scan)
+5. baseline diff   -> accepted-violation anti-join (broadcast), drift KS/PSI
+6. report          -> canonical JSON document with integrity digest
+7. gate            -> per-(partition, rule) verdicts; exit codes 0/2/3
+
+Waves: partitions process in deterministic chunks; each wave durably writes
+its violations + ledger entries before the next starts, so a killed run
+resumes by pruning done partitions at the scan (reference warm-path
+semantics, core/discovery.py:118-190).  Default is one wave = full cluster
+parallelism; waves exist for resumability, not scheduling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from codeclone_spark import (
+    EXIT_CONTRACT_ERROR,
+    EXIT_GATE_FAILURE,
+    EXIT_OK,
+    REPORT_SCHEMA_VERSION,
+    ENGINE_NAME,
+    ENGINE_VERSION,
+)
+from codeclone_spark.operators.rules import (
+    ALLOWED_SR,
+    DRIFT_RULE_IDS,
+    DUR_BIN_EDGES,
+    GateConfig,
+    build_verdicts,
+    evaluate_row_rules,
+    partition_aggregates,
+    violation_key,
+)
+from codeclone_spark.plans import baseline as bl
+from codeclone_spark.plans.facts import build_facts, read_clips, read_fixtures
+from codeclone_spark.plans.ledger import Ledger, merge_partials
+
+TABLE_SCOPE = "<table>"
+
+
+@dataclass
+class RunConfig:
+    data_dir: str
+    out_dir: str
+    baseline_path: str | None = None
+    gating: bool = True
+    update_baseline: bool = False
+    wave_size: int | None = None  # None -> single wave (max parallelism)
+    force_smj: bool = False
+    gates: GateConfig = field(default_factory=GateConfig)
+    created_at: str = bl.DEFAULT_CREATED_AT
+
+
+@dataclass
+class RunResult:
+    exit_code: int
+    report: dict[str, Any]
+    violations_path: str
+    verdicts_path: str
+
+
+def _chunks(items: list[str], size: int | None) -> list[list[str]]:
+    if not items:
+        return []
+    if size is None or size >= len(items):
+        return [items]
+    return [items[i : i + size] for i in range(0, len(items), size)]
+
+
+def _round_floats(obj: Any, nd: int = 6) -> Any:
+    if isinstance(obj, float):
+        return round(obj, nd)
+    if isinstance(obj, dict):
+        return {k: _round_floats(v, nd) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_round_floats(v, nd) for v in obj]
+    return obj
+
+
+def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
+    t0 = time.monotonic()
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    ledger = Ledger(os.path.join(cfg.out_dir, "ledger.json"))
+
+    # --- stage 5a: baseline trust (checked BEFORE compute: fail-closed must
+    # not waste a cluster run; reference baseline_state.py:138-170)
+    snapshot, trust = (None, bl.Trust(False, "no baseline configured"))
+    warnings: list[str] = []
+    if cfg.baseline_path:
+        snapshot, trust = bl.load_baseline(cfg.baseline_path)
+        if not trust.trusted:
+            if snapshot is None and trust.reason == "baseline missing":
+                warnings.append("baseline missing: diff/drift disabled")
+                snapshot = None
+            elif cfg.gating and not cfg.update_baseline:
+                # fail closed: untrusted baseline + gating requested
+                report = {
+                    "report_schema_version": REPORT_SCHEMA_VERSION,
+                    "meta": _meta(cfg),
+                    "error": f"CONTRACT_ERROR: {trust.reason}",
+                }
+                return RunResult(EXIT_CONTRACT_ERROR, report, "", "")
+            else:
+                warnings.append(f"untrusted baseline ({trust.reason}): degraded")
+                snapshot = None
+    accepted = sorted((snapshot or {}).get("accepted_violations", []))
+
+    clips = read_clips(spark, cfg.data_dir)
+    fixtures = read_fixtures(spark, cfg.data_dir)
+
+    # --- stage 2: discovery (partition-column-only scan; metadata cheap)
+    all_parts = sorted(
+        r["part"] for r in clips.select("part").distinct().collect()
+    )
+    done = ledger.done_parts() & set(all_parts)
+    todo = [p for p in all_parts if p not in done]
+    resumed = len(done)
+
+    waves_dir = os.path.join(cfg.out_dir, "waves")
+    sr_cols = [f"sr_{v}" for v in ALLOWED_SR]
+
+    # --- stages 3-4 per wave
+    for wi, wave in enumerate(_chunks(todo, cfg.wave_size)):
+        wave_id = hashlib.sha1("|".join(wave).encode()).hexdigest()[:12]
+        wave_path = os.path.join(waves_dir, f"wave-{wave_id}")
+        facts = build_facts(clips, fixtures, parts=wave, force_smj=cfg.force_smj)
+        facts = facts.persist()
+
+        viol = evaluate_row_rules(facts)
+        (
+            viol.repartition(1 if len(wave) <= 8 else 8)
+            .write.mode("overwrite")
+            .parquet(os.path.join(wave_path, "violations"))
+        )
+
+        aggs = partition_aggregates(facts).collect()
+        # per-partition violation digests for the ledger (stable identity)
+        vdig = {
+            r["partition"]: (r["digest"], r["n"])
+            for r in (
+                spark.read.parquet(os.path.join(wave_path, "violations"))
+                .groupBy("partition")
+                .agg(
+                    F.sha2(
+                        F.concat_ws(
+                            ";",
+                            F.sort_array(
+                                F.collect_list(
+                                    F.concat_ws("|", "rule_id", "clip_id", "observed")
+                                )
+                            ),
+                        ),
+                        256,
+                    ).alias("digest"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+        }
+        elapsed_ms = 0  # filled per-wave below
+        for row in aggs:
+            d = row.asDict()
+            part = d.pop("part")
+            dig, nviol = vdig.get(part, ("0" * 64, 0))
+            ledger.record(
+                part,
+                {
+                    "wave": f"wave-{wave_id}",
+                    "rows": d["rows"],
+                    "dur_null": d["dur_null"],
+                    "transcript_null": d["transcript_null"],
+                    "undecodable": d["undecodable"],
+                    "dur_min": d["dur_min"],
+                    "dur_max": d["dur_max"],
+                    "dur_mean": float(d["dur_mean"]) if d["dur_mean"] is not None else None,
+                    "approx_ndv": d["approx_ndv"],
+                    "dur_hist": [int(x) for x in d["dur_hist"]],
+                    "sr_counts": {
+                        str(v): int(d[f"sr_{v}"]) for v in ALLOWED_SR
+                    },
+                    "violations": int(nviol),
+                    "digest": dig,
+                },
+            )
+        facts.unpersist()
+        ledger.save()  # durable commit point: wave outputs + entries together
+
+    # missing-from-ledger guard (a part listed but never processed)
+    entries = [ledger.partitions[p] for p in all_parts if p in ledger.partitions]
+    table_stats = merge_partials(entries)
+
+    # --- stage 4c: global exact uniqueness — column-pruned scan over ALL
+    # partitions (dups can span waves/partitions; reading 2 string cols of a
+    # 100 TB table is cheap relative to decode, and Catalyst prunes to just
+    # those columns — verified in tests via ReadSchema).
+    ids_only = clips.select("clip_id", "part")
+    approx_ndv = ids_only.agg(
+        F.approx_count_distinct("clip_id").alias("ndv")
+    ).collect()[0]["ndv"]
+    dup_groups = (
+        ids_only
+        .groupBy("clip_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("part").alias("partition"))
+        .filter(F.col("n") > 1)
+    )
+    uniq_viol = dup_groups.select(
+        F.lit("uniq:clip_id").alias("rule_id"),
+        "partition",
+        "clip_id",
+        F.concat_ws("", F.lit("count="), F.col("n").cast("string")).alias("observed"),
+        F.lit("unique clip_id").alias("expected"),
+    )
+
+    wave_dirs = sorted(
+        {
+            os.path.join(waves_dir, e["wave"], "violations")
+            for e in entries
+            if "wave" in e
+        }
+    )
+    if wave_dirs:
+        row_viol = spark.read.parquet(*wave_dirs)
+        all_viol = row_viol.unionByName(uniq_viol)
+    else:
+        all_viol = uniq_viol
+
+    # --- stage 5b: baseline accepted-set diff (broadcast anti-join — the
+    # reference's diff_clone_groups set difference, baseline/diff.py:23-32)
+    acc_df = spark.createDataFrame(
+        [(k,) for k in accepted] or [("\x00never",)], ["vkey"]
+    ).withColumn("accepted", F.lit(True))
+    keyed = all_viol.withColumn("vkey", violation_key(all_viol))
+    marked = keyed.join(F.broadcast(acc_df), "vkey", "left")
+    counts = marked.groupBy("partition", "rule_id").agg(
+        F.count(F.lit(1)).alias("n_viol"),
+        F.sum(F.when(F.col("accepted").isNull(), 1).otherwise(0)).alias("n_new"),
+    )
+
+    part_rows = spark.createDataFrame(
+        [(p, int(ledger.partitions[p]["rows"])) for p in all_parts],
+        ["part", "rows"],
+    )
+    verdicts = build_verdicts(counts, part_rows, cfg.gates, set(accepted))
+
+    # --- drift (driver-side math on merged mergeable partials)
+    drift_verdicts: list[tuple[str, str, bool, str, str]] = []
+    drift_metrics: dict[str, float] = {}
+    if snapshot is not None:
+        b_hist = snapshot["histograms"]["dur_ms"]["counts"]
+        c_hist = table_stats["dur_hist"]
+        b_sr = snapshot["histograms"]["sr_hz"]["counts"]
+        c_sr = [table_stats["sr_counts"].get(str(v), 0) for v in ALLOWED_SR]
+        checks = [
+            ("drift:psi:dur_ms", bl.psi(b_hist, c_hist), cfg.gates.psi_max),
+            ("drift:ks:dur_ms", bl.ks_stat(b_hist, c_hist), cfg.gates.ks_max),
+            ("drift:psi:sr_hz", bl.psi(b_sr, c_sr), cfg.gates.psi_max),
+        ]
+        for rid, val, mx in checks:
+            ok = val <= mx
+            drift_metrics[rid] = round(val, 6)
+            reason = (
+                f"{rid}: ok (stat={val:.6f} <= max={mx:g})"
+                if ok
+                else f"{rid}: stat={val:.6f} exceeds max={mx:g}"
+            )
+            drift_verdicts.append((TABLE_SCOPE, rid, ok, reason, "new" if not ok else "known"))
+    else:
+        for rid in DRIFT_RULE_IDS:
+            drift_verdicts.append(
+                (TABLE_SCOPE, rid, True, f"{rid}: skipped (no trusted baseline)", "known")
+            )
+    drift_df = spark.createDataFrame(
+        drift_verdicts, ["partition", "rule_id", "pass", "reason", "novelty"]
+    )
+    verdicts = verdicts.unionByName(drift_df)
+
+    # --- stage 6: canonical, deterministically-ordered outputs
+    violations_path = os.path.join(cfg.out_dir, "violations")
+    verdicts_path = os.path.join(cfg.out_dir, "verdicts")
+    final_viol = all_viol.orderBy("rule_id", "partition", "clip_id", "observed")
+    final_verd = verdicts.orderBy("partition", "rule_id")
+    final_viol.coalesce(1).write.mode("overwrite").parquet(violations_path)
+    final_verd.coalesce(1).write.mode("overwrite").parquet(verdicts_path)
+
+    final_viol = spark.read.parquet(violations_path)
+    final_verd = spark.read.parquet(verdicts_path)
+    n_viol_total = final_viol.count()
+    rule_counts = {
+        r["rule_id"]: r["n"]
+        for r in final_viol.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    failed = [
+        (r["partition"], r["rule_id"], r["reason"])
+        for r in final_verd.filter(~F.col("pass")).orderBy("partition", "rule_id").collect()
+    ]
+
+    # run digest over canonical violation identity (determinism contract,
+    # reference run_benchmark.py:446-452)
+    dig_row = final_viol.agg(
+        F.sha2(
+            F.concat_ws(
+                ";",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws("|", "rule_id", "partition", "clip_id", "observed")
+                    )
+                ),
+            ),
+            256,
+        ).alias("d")
+    ).collect()[0]
+    run_digest = dig_row["d"] or hashlib.sha256(b"").hexdigest()
+
+    uniqueness = {
+        "clip_id_approx_ndv": int(approx_ndv),  # HLL++ fast path
+        "clip_id_exact_dup_groups": int(rule_counts.get("uniq:clip_id", 0)),
+    }
+
+    stats_doc = {
+        "dur_ms": {
+            "count": table_stats.get("rows", 0),
+            "null_permille": round(
+                1000.0 * table_stats.get("dur_null", 0) / max(table_stats.get("rows", 1), 1), 3
+            ),
+            "min": table_stats.get("dur_min"),
+            "max": table_stats.get("dur_max"),
+            "mean": table_stats.get("dur_mean"),
+        },
+        "transcript": {
+            "count": table_stats.get("rows", 0),
+            "null_or_empty_permille": round(
+                1000.0
+                * table_stats.get("transcript_null", 0)
+                / max(table_stats.get("rows", 1), 1),
+                3,
+            ),
+        },
+    }
+    histograms = {
+        "dur_ms": {"bin_edges": DUR_BIN_EDGES, "counts": table_stats.get("dur_hist", [])},
+        "sr_hz": {
+            "values": list(ALLOWED_SR),
+            "counts": [table_stats.get("sr_counts", {}).get(str(v), 0) for v in ALLOWED_SR],
+        },
+    }
+
+    report = {
+        "report_schema_version": REPORT_SCHEMA_VERSION,
+        "meta": _meta(cfg),
+        "inventory": {
+            "partitions": len(all_parts),
+            "partitions_resumed": resumed,
+            "rows": table_stats.get("rows", 0),
+        },
+        "findings": {
+            "total_violations": int(n_viol_total),
+            "by_rule": dict(sorted(rule_counts.items())),
+            "failed_gates": [
+                {"partition": p, "rule_id": r, "reason": reason} for p, r, reason in failed
+            ],
+        },
+        "metrics": {
+            "stats": stats_doc,
+            "histograms": histograms,
+            "uniqueness": uniqueness,
+            "drift": drift_metrics,
+        },
+        "baseline": {"trusted": trust.trusted, "reason": trust.reason},
+        "warnings": warnings,
+        "elapsed_sec": round(time.monotonic() - t0, 3),
+    }
+    body = _round_floats({k: v for k, v in report.items() if k != "elapsed_sec"})
+    report["integrity"] = {
+        "run_digest": run_digest,
+        "report_sha256": hashlib.sha256(
+            json.dumps(body, sort_keys=True, separators=(",", ":")).encode()
+        ).hexdigest(),
+    }
+    with open(os.path.join(cfg.out_dir, "report.json"), "w") as f:
+        json.dump(report, f, sort_keys=True, indent=1)
+
+    # --- baseline update mode (§3.2: explicit governance action; gates not
+    # enforced against the snapshot just written)
+    if cfg.update_baseline and cfg.baseline_path:
+        all_keys = [
+            r["vkey"]
+            for r in keyed.select("vkey").distinct().orderBy("vkey").collect()
+        ]
+        bl.write_baseline(
+            cfg.baseline_path,
+            stats=stats_doc,
+            histograms=histograms,
+            uniqueness=uniqueness,
+            accepted_violations=all_keys,
+            created_at=cfg.created_at,
+        )
+        return RunResult(EXIT_OK, report, violations_path, verdicts_path)
+
+    exit_code = EXIT_GATE_FAILURE if failed else EXIT_OK
+    return RunResult(exit_code, report, violations_path, verdicts_path)
+
+
+def _meta(cfg: RunConfig) -> dict[str, Any]:
+    return {
+        "generator": {"name": ENGINE_NAME, "version": ENGINE_VERSION},
+        "data_dir": cfg.data_dir,
+        "gating": cfg.gating,
+        "created_at": cfg.created_at,
+    }
