@@ -1,0 +1,101 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline: end-to-end validation throughput (clips/sec) on the synthetic
+audio corpus (the BASELINE.json metric), plus representative relational /
+dedup / similarity queries on the driver-provided testdata.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_PROFILE (clips profile override; default derived from SF dir).
+
+Methodology (reference benchmarks/run_benchmark.py): fixed seeds, warmup
+then measured run, canonical-output digest recorded for determinism checks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q6_revenue",
+    "nation_topk_customers",
+    "events_hourly_rollup",
+    "events_drift_psi",
+    "stats_summary_lineitem",
+    "text_quality",
+    "dedup_minhash_sigs",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_srp_buckets",
+]
+
+
+def main() -> None:
+    from codeclone_spark.entry_queries import REGISTRY, clips_dir_for
+    from codeclone_spark.plans.runner import RunConfig, run
+    from codeclone_spark.session import get_spark
+
+    spark = get_spark(app_name="ccspark-bench", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1"
+    timings: dict[str, float] = {}
+
+    # -- headline: full validation pass over the synthetic clips corpus
+    data_dir = clips_dir_for(SF_DIR)  # generates once, deterministic
+    with open(os.path.join(data_dir, "manifest.json")) as f:
+        n_clips = json.load(f)["n_total_rows"]
+    out_dir = "/tmp/ccspark_bench_out"
+    # warmup (also triggers JVM/Arrow init)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run(spark, RunConfig(data_dir=data_dir, out_dir=out_dir, gating=False))
+    digest_warm = None
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    res = run(spark, RunConfig(data_dir=data_dir, out_dir=out_dir, gating=False))
+    t_val = time.monotonic() - t0
+    timings["validation_full"] = round(t_val, 3)
+    throughput = n_clips / t_val
+
+    # -- representative operator queries
+    for name in BENCH_QUERIES:
+        qd = REGISTRY[name]
+        qd.fn(spark, SF_DIR).count()  # warmup (plan compile + file listing)
+        t0 = time.monotonic()
+        qd.fn(spark, SF_DIR).count()  # measured
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_validation_and_operator_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "clips": n_clips,
+                "validation_throughput_clips_per_sec": round(throughput, 1),
+                "cpus": CPUS,
+                "run_digest": res.report["integrity"]["run_digest"][:16],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

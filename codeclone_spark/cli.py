@@ -1,0 +1,99 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files codeclone_spark.zip cli.py run \
+        --data-dir s3://bucket/clips --out-dir s3://bucket/run1 \
+        --baseline baseline.json [--update-baseline] [--wave-size 64]
+
+Exit codes (reference contracts/__init__.py:112-116):
+0 ok, 2 contract error (untrusted baseline under gating, unreadable input),
+3 gate failure, 5 usage error.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from codeclone_spark import EXIT_CONTRACT_ERROR, EXIT_USAGE_ERROR
+from codeclone_spark.operators.rules import GateConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="codeclone-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="full validation run")
+    r.add_argument("--data-dir", required=True)
+    r.add_argument("--out-dir", required=True)
+    r.add_argument("--baseline", default=None)
+    r.add_argument("--update-baseline", action="store_true")
+    r.add_argument("--no-gating", action="store_true")
+    r.add_argument("--wave-size", type=int, default=None)
+    r.add_argument("--force-smj", action="store_true")
+    r.add_argument("--max-count", action="append", default=[],
+                   metavar="RULE=N", help="per-rule violation budget")
+    r.add_argument("--cores", type=int, default=None)
+
+    g = sub.add_parser("synth", help="generate synthetic corpus")
+    g.add_argument("--out-dir", required=True)
+    g.add_argument("--profile", default="tiny")
+    g.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    try:
+        args = build_parser().parse_args(argv)
+    except SystemExit as e:
+        return EXIT_USAGE_ERROR if e.code not in (0, None) else 0
+
+    if args.cmd == "synth":
+        from codeclone_spark.synth import generate
+
+        m = generate(args.out_dir, profile=args.profile, seed=args.seed)
+        print(json.dumps({k: v for k, v in m.items() if k != "planted"}))
+        return 0
+
+    max_count: dict[str, int] = {}
+    for spec in args.max_count:
+        if "=" not in spec:
+            print(f"usage error: --max-count expects RULE=N, got {spec!r}",
+                  file=sys.stderr)
+            return EXIT_USAGE_ERROR
+        k, v = spec.split("=", 1)
+        max_count[k] = int(v)
+
+    from codeclone_spark.plans.runner import RunConfig, run
+    from codeclone_spark.session import get_spark
+
+    spark = get_spark(app_name="codeclone-spark-run", cores=args.cores)
+    try:
+        res = run(
+            spark,
+            RunConfig(
+                data_dir=args.data_dir,
+                out_dir=args.out_dir,
+                baseline_path=args.baseline,
+                gating=not args.no_gating,
+                update_baseline=args.update_baseline,
+                wave_size=args.wave_size,
+                force_smj=args.force_smj,
+                gates=GateConfig(max_count=max_count),
+            ),
+        )
+    except Exception as e:  # unreadable input etc. -> contract error
+        print(f"CONTRACT_ERROR: {type(e).__name__}: {e}", file=sys.stderr)
+        return EXIT_CONTRACT_ERROR
+    summary = {
+        "exit_code": res.exit_code,
+        "violations": res.report.get("findings", {}).get("total_violations"),
+        "failed_gates": len(res.report.get("findings", {}).get("failed_gates", [])),
+        "report": f"{args.out_dir}/report.json",
+    }
+    print(json.dumps(summary))
+    return res.exit_code
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,925 @@
+"""Query registry backing ``__spark_entry__.py``.
+
+Each entry pairs a Spark DataFrame implementation (spark, sf_dir) -> DF with
+an exactly-equivalent DuckDB SQL oracle over the same parquet files.  Column
+names and float rounding match on both sides so the driver's
+order-insensitive value-hash comparison is byte-stable.
+
+The audio-clip queries run over this repo's deterministic synthetic corpus
+(``codeclone_spark.synth``), generated on demand under /root/repo/testclips;
+their oracles read the same parquet via absolute paths.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from codeclone_spark.operators import dedup as dd
+from codeclone_spark.operators import similarity as sim
+from codeclone_spark.operators import text as tx
+from codeclone_spark.operators.rules import DUR_BIN_EDGES
+
+CLIPS_BASE = "/root/repo/testclips"
+SF_PROFILE = {"0.001": "tiny", "0.01": "small", "0.1": "bench"}
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None -> rows-only check (non-SQL-expressible)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _profile_for(sf_dir: str) -> str:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    sf = tail[2:] if tail.startswith("sf") else "0.01"
+    return SF_PROFILE.get(sf, "small")
+
+
+def clips_dir_for(sf_dir: str) -> str:
+    from codeclone_spark.synth import ensure_profile
+
+    return ensure_profile(CLIPS_BASE, _profile_for(sf_dir))
+
+
+def _clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{clips_dir_for(sf_dir)}/clips")
+
+
+def _fixtures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{clips_dir_for(sf_dir)}/fixtures_ref.parquet")
+
+
+# DuckDB-side paths for the sf0.01 correctness run (the driver's fixed SF).
+_CLIPS_SQL = f"read_parquet('{CLIPS_BASE}/small/clips/*/*.parquet', hive_partitioning=true)"
+_FIXTURES_SQL = f"read_parquet('{CLIPS_BASE}/small/fixtures_ref.parquet')"
+
+
+# ===================================================== relational / TPC-H --
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Adapted TPC-H Q5: revenue per nation where customer and supplier
+    share a nation; dims broadcast, fact joins shuffle on keys."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q6_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def top_customers(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select("c_name", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), F.asc("c_name"))
+        .limit(10)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_name, round(sum(o_totalprice), 2) AS total_spend, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name
+ORDER BY total_spend DESC, c_name
+LIMIT 10
+"""
+
+
+def nation_topk_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Window top-k per group (priority-top-k analog of the reference's
+    per-rule exemplar caps, report/suggestions.py)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_name"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_name", F.round("c_acctbal", 2).alias("acctbal"), "rk")
+        .orderBy("n_name", "rk")
+    )
+
+
+NATION_TOPK_SQL = """
+SELECT n_name, c_name, round(c_acctbal, 2) AS acctbal, rk FROM (
+  SELECT n_name, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_name) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rk <= 3 ORDER BY n_name, rk
+"""
+
+
+def _bucket_expr(col: F.Column, lo: float, hi: float, n: int) -> F.Column:
+    """width_bucket semantics spelled out (bucket 0 below lo, n+1 at/above
+    hi) — identical arithmetic on the DuckDB side, which lacks the builtin."""
+    v = col.cast("double")
+    return (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(n + 1))
+        .otherwise(F.floor((v - lo) / ((hi - lo) / n)) + 1)
+        .cast("long")
+    )
+
+
+def _bucket_sql(col: str, lo: float, hi: float, n: int) -> str:
+    step = (hi - lo) / n
+    return (
+        f"CASE WHEN {col} < {lo} THEN 0 WHEN {col} >= {hi} THEN {n + 1} "
+        f"ELSE floor(({col} - {lo}) / {step})::BIGINT + 1 END"
+    )
+
+
+def orders_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-bin histogram (drift-histogram builder)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(_bucket_expr(F.col("o_totalprice"), 0.0, 400000.0, 20).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
+ORDERS_HIST_SQL = f"""
+SELECT {_bucket_sql('o_totalprice', 0.0, 400000.0, 20)} AS bin, count(*) AS n
+FROM orders GROUP BY bin ORDER BY bin
+"""
+
+
+def events_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming rollup)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+def events_null_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-rate / completeness rule (permille arithmetic like the
+    reference's coverage_adoption family, registry.py:590-645)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
+            F.round(
+                F.sum(F.col("props").isNull().cast("long")) * 1000.0
+                / F.count(F.lit(1)),
+                3,
+            ).alias("null_permille"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_NULL_SQL = """
+SELECT event_type, count(*) AS rows,
+       sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+       round(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) * 1000.0 / count(*), 3)
+         AS null_permille
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-drift PSI between early and late halves of the events
+    stream — the same aligned-histogram PSI the engine runs against its
+    baseline snapshot, here fully SQL-expressible for the oracle."""
+    e = _t(spark, sf, "events")
+    half = F.when(F.col("ts") < "2024-01-16", "a").otherwise("b")
+    binned = e.select(
+        half.alias("half"),
+        _bucket_expr(F.col("value"), 0.0, 1000.0, 10).alias("bin"),
+    )
+    counts = binned.groupBy("half", "bin").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("half").agg(F.sum("n").alias("tot"))
+    p = (
+        counts.join(tot, "half")
+        .select("half", "bin", (F.col("n") / F.col("tot")).alias("p"))
+    )
+    a = p.filter(F.col("half") == "a").select("bin", F.col("p").alias("pa"))
+    b = p.filter(F.col("half") == "b").select("bin", F.col("p").alias("pb"))
+    j = a.join(b, "bin", "full").fillna(0.0).select(
+        F.greatest("pa", F.lit(1e-6)).alias("pa"),
+        F.greatest("pb", F.lit(1e-6)).alias("pb"),
+    )
+    return j.agg(
+        F.round(F.sum((F.col("pb") - F.col("pa")) * F.log(F.col("pb") / F.col("pa"))), 6).alias(
+            "psi"
+        )
+    )
+
+
+EVENTS_PSI_SQL = f"""
+WITH binned AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS half,
+         {_bucket_sql('value', 0.0, 1000.0, 10)} AS bin
+  FROM events
+), counts AS (
+  SELECT half, bin, count(*) AS n FROM binned GROUP BY half, bin
+), p AS (
+  SELECT half, bin, n * 1.0 / sum(n) OVER (PARTITION BY half) AS p FROM counts
+), j AS (
+  SELECT greatest(coalesce(a.p, 0), 1e-6) AS pa, greatest(coalesce(b.p, 0), 1e-6) AS pb
+  FROM (SELECT bin, p FROM p WHERE half = 'a') a
+  FULL OUTER JOIN (SELECT bin, p FROM p WHERE half = 'b') b USING (bin)
+)
+SELECT round(sum((pb - pa) * ln(pb / pa)), 6) AS psi FROM j
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential check as an anti-join (reference find_unused dead-code
+    anti-join, metrics/dead_code.py:35-79)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+CUST_NO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+ORDER BY c_custkey
+"""
+
+
+def dup_groups_custkey(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dup-group aggregation shape (groupBy key HAVING count>1)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .orderBy(F.desc("n"), F.asc("o_custkey"))
+        .limit(100)
+    )
+
+
+DUP_CUSTKEY_SQL = """
+SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey HAVING count(*) > 1
+ORDER BY n DESC, o_custkey LIMIT 100
+"""
+
+
+def quantiles_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (approx_percentile is the scale path;
+    exact keeps the oracle comparable)."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+QUANTILES_SQL = """
+SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+"""
+
+
+def stats_summary_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.round(F.min("l_quantity"), 2).alias("min_qty"),
+            F.round(F.max("l_quantity"), 2).alias("max_qty"),
+            F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+STATS_SUMMARY_SQL = """
+SELECT l_returnflag, count(*) AS rows,
+       round(min(l_quantity), 2) AS min_qty, round(max(l_quantity), 2) AS max_qty,
+       round(avg(l_quantity), 4) AS mean_qty,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ================================================================= text ----
+_SW = "', '".join(tx.EN_STOPWORDS)
+
+
+def text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+       length(text) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        tx.punct_ratio(F.col("text")).alias("punct_ratio"),
+        tx.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\s+') END AS toks,
+         CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS ltoks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    round(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0
+          / greatest(length(text), 1), 6) AS punct_ratio,
+    round(len(list_filter(ltoks, x -> x IN ('{_SW}'))) * 1.0
+          / greatest(len(ltoks), 1), 6) AS stopword_ratio,
+    len(toks) AS n_tok
+  FROM t
+)
+SELECT doc_id, punct_ratio, stopword_ratio,
+       round(0.4 * least(n_tok / 20.0, 1.0)
+           + 0.3 * (1.0 - least(punct_ratio * 4.0, 1.0))
+           + 0.3 * least(stopword_ratio * 5.0, 1.0), 7) AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+def text_langid_counts(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(tx.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+def _langid_sql() -> str:
+    score_exprs = []
+    for lang, sw in tx.LANG_STOPWORDS.items():
+        inlist = "', '".join(sw)
+        score_exprs.append(
+            f"len(list_filter(ltoks, x -> x IN ('{inlist}'))) * 1.0"
+            f" / greatest(len(ltoks), 1) AS s_{lang}"
+        )
+    langs = list(tx.LANG_STOPWORDS.keys())
+    # strictly-greater fold, same tie-break order as the Spark impl
+    pred = "'und'"
+    best = "0.0"
+    for lang in langs:
+        pred = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest(s_{lang}, {best})" if best != "0.0" else f"greatest(s_{lang}, 0.0)"
+    return rf"""
+WITH t AS (
+  SELECT CASE WHEN length(trim(lower(text))) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS ltoks
+  FROM documents
+), s AS (
+  SELECT {', '.join(score_exprs)} FROM t
+)
+SELECT {pred} AS lang_pred, count(*) AS n FROM s GROUP BY 1 ORDER BY lang_pred
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+# ================================================================ dedup ----
+_SHINGLE_SQL = r"""
+  SELECT doc_id AS id, shingle FROM (
+    SELECT doc_id, unnest(list_transform(
+             range(1, greatest(length(text) - {km1}, 1) + 1),
+             i -> substr(text, i, {k}))) AS shingle
+    FROM documents
+  ) WHERE length(shingle) = {k}
+  GROUP BY doc_id, shingle
+""".replace("{km1}", str(dd.SHINGLE_K - 1)).replace("{k}", str(dd.SHINGLE_K))
+
+_H60_SQL = "('0x' || substr(md5('{seed}' || shingle), 1, 15))::UBIGINT"
+
+
+def dedup_exact_docs(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return dd.exact_dup_groups(d, "doc_id", "text").orderBy("content_hash")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, count(*) AS n, min(doc_id) AS min_id
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash
+"""
+
+
+def dedup_minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
+    """Full MinHash signatures per doc — bit-for-bit oracle-checked."""
+    d = _t(spark, sf, "documents")
+    sh = dd.char_shingles(d, "doc_id", "text")
+    return dd.minhash_signatures(sh).orderBy("id")
+
+
+def _minhash_sql() -> str:
+    mins = ", ".join(
+        f"min({_H60_SQL.format(seed=i)})::BIGINT AS mh{i}" for i in range(dd.MINHASH_K)
+    )
+    return f"WITH sh AS ({_SHINGLE_SQL}) SELECT id, {mins} FROM sh GROUP BY id ORDER BY id"
+
+
+def dedup_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return dd.lsh_candidate_pairs(d, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+def _lsh_sql() -> str:
+    mins = ", ".join(
+        f"min({_H60_SQL.format(seed=i)})::BIGINT AS mh{i}" for i in range(dd.MINHASH_K)
+    )
+    n_bands = dd.MINHASH_K // 2
+    band_rows = ", ".join(
+        f"({b}, mh{2*b}::VARCHAR || '|' || mh{2*b+1}::VARCHAR)" for b in range(n_bands)
+    )
+    return f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
+banded AS (
+  SELECT id, b.band, b.key FROM sigs,
+  LATERAL (SELECT * FROM (VALUES {band_rows}) AS v(band, key)) b
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return dd.jaccard_pairs(d, "doc_id", "text", threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _jaccard_sql() -> str:
+    return f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return dd.simhash(d, "doc_id", "text").orderBy("id")
+
+
+def _simhash_sql() -> str:
+    bits = dd.SIMHASH_BITS
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN v{i} > 0 THEN {2**i}::BIGINT ELSE 0 END" for i in range(bits))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         ('0x' || substr(md5(tok), 1, 15))::UBIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents)
+  WHERE length(tok) > 0
+), v AS (SELECT id, {votes} FROM toks GROUP BY id)
+SELECT id, ({sig})::BIGINT AS simhash FROM v ORDER BY id
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings")
+    return dd.embedding_neardup_pairs(
+        e, "vec_id", "embedding", block_col="label", threshold=0.95
+    ).orderBy("id_a", "id_b")
+
+
+EMB_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+ORDER BY id_a, id_b
+"""
+
+
+# ============================================================ similarity ---
+def _query_vec(spark: SparkSession, sf: str) -> list[float]:
+    row = (
+        _t(spark, sf, "embeddings")
+        .orderBy("vec_id")
+        .select("embedding")
+        .limit(1)
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def sim_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    return sim.cosine_topk(e, "vec_id", "embedding", q, k=10)
+
+
+SIM_TOPK_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT vec_id AS id,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, id LIMIT 10
+"""
+
+
+def sim_srp_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings")
+    return sim.srp_buckets(e, "vec_id", "embedding", n_planes=8, dim=64).orderBy("id")
+
+
+def _srp_sql(n_planes: int = 8, dim: int = 64) -> str:
+    planes = sim.plane_signs(n_planes, dim)
+    terms = []
+    for p in range(n_planes):
+        dot = " + ".join(
+            f"({planes[p][d]}) * embedding[{d + 1}]" for d in range(dim)
+        )
+        terms.append(f"CASE WHEN ({dot}) > 0 THEN {2**p}::BIGINT ELSE 0 END")
+    return f"SELECT vec_id AS id, ({' + '.join(terms)})::BIGINT AS bucket FROM embeddings ORDER BY id"
+
+
+# ================================================== audio clips (synth) ----
+def clips_stats_by_part(spark: SparkSession, sf: str) -> DataFrame:
+    c = _clips(spark, sf)
+    return (
+        c.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("dur_ms").isNull().cast("long")).alias("dur_null"),
+            F.min("dur_ms").alias("dur_min"),
+            F.max("dur_ms").alias("dur_max"),
+            F.round(F.avg("dur_ms"), 4).alias("dur_mean"),
+        )
+        .orderBy("part")
+    )
+
+
+CLIPS_STATS_SQL = f"""
+SELECT part, count(*) AS rows,
+       sum(CASE WHEN dur_ms IS NULL THEN 1 ELSE 0 END) AS dur_null,
+       min(dur_ms) AS dur_min, max(dur_ms) AS dur_max,
+       round(avg(dur_ms), 4) AS dur_mean
+FROM {_CLIPS_SQL} GROUP BY part ORDER BY part
+"""
+
+
+def clips_dup_ids(spark: SparkSession, sf: str) -> DataFrame:
+    c = _clips(spark, sf)
+    return (
+        c.groupBy("clip_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .orderBy("clip_id")
+    )
+
+
+CLIPS_DUP_SQL = f"""
+SELECT clip_id, count(*) AS n FROM {_CLIPS_SQL}
+GROUP BY clip_id HAVING count(*) > 1 ORDER BY clip_id
+"""
+
+
+def clips_fixture_missing(spark: SparkSession, sf: str) -> DataFrame:
+    c = _clips(spark, sf).select("clip_id").distinct()
+    fx = _fixtures(spark, sf).select("clip_id")
+    return c.join(fx, "clip_id", "left_anti").orderBy("clip_id")
+
+
+CLIPS_MISSING_SQL = f"""
+SELECT DISTINCT clip_id FROM {_CLIPS_SQL}
+WHERE clip_id NOT IN (SELECT clip_id FROM {_FIXTURES_SQL})
+ORDER BY clip_id
+"""
+
+
+def clips_transcript_mismatch(spark: SparkSession, sf: str) -> DataFrame:
+    c = _clips(spark, sf)
+    fx = _fixtures(spark, sf)
+    return (
+        c.join(fx, "clip_id")
+        .filter(
+            F.col("transcript").isNotNull()
+            & (F.length("transcript") > 0)
+            & (F.col("transcript") != F.col("expected_transcript"))
+        )
+        .select("clip_id", "transcript", "expected_transcript")
+        .distinct()
+        .orderBy("clip_id")
+    )
+
+
+CLIPS_TR_MISMATCH_SQL = f"""
+SELECT DISTINCT c.clip_id, c.transcript, f.expected_transcript
+FROM {_CLIPS_SQL} c JOIN {_FIXTURES_SQL} f ON c.clip_id = f.clip_id
+WHERE c.transcript IS NOT NULL AND length(c.transcript) > 0
+  AND c.transcript <> f.expected_transcript
+ORDER BY c.clip_id
+"""
+
+
+def clips_dur_hist(spark: SparkSession, sf: str) -> DataFrame:
+    c = _clips(spark, sf)
+    edges = DUR_BIN_EDGES
+    bin_expr = None
+    for i in range(len(edges) - 1):
+        cond = (F.col("dur_ms") >= edges[i]) & (F.col("dur_ms") < edges[i + 1])
+        bin_expr = F.when(cond, i) if bin_expr is None else bin_expr.when(cond, i)
+    return (
+        c.filter(F.col("dur_ms").isNotNull())
+        .select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
+def _clips_hist_sql() -> str:
+    edges = DUR_BIN_EDGES
+    whens = " ".join(
+        f"WHEN dur_ms >= {edges[i]} AND dur_ms < {edges[i + 1]} THEN {i}"
+        for i in range(len(edges) - 1)
+    )
+    return f"""
+SELECT CASE {whens} END AS bin, count(*) AS n
+FROM {_CLIPS_SQL} WHERE dur_ms IS NOT NULL GROUP BY 1 ORDER BY bin
+"""
+
+
+def validation_violations(spark: SparkSession, sf: str) -> DataFrame:
+    """Full engine pass over the synthetic corpus — returns the canonical
+    violations frame.  Rows-only check: SNR/decode facts aren't
+    SQL-expressible (DuckDB can't decode audio)."""
+    import tempfile
+
+    from codeclone_spark.plans.runner import RunConfig, run
+
+    data_dir = clips_dir_for(sf)
+    out_dir = tempfile.mkdtemp(prefix="ccspark_run_")
+    res = run(spark, RunConfig(data_dir=data_dir, out_dir=out_dir, gating=False))
+    return spark.read.parquet(res.violations_path).orderBy(
+        "rule_id", "partition", "clip_id", "observed"
+    )
+
+
+# ============================================================== registry ---
+def build_registry() -> dict[str, QueryDef]:
+    return {
+        "q1_pricing_summary": QueryDef(q1_pricing_summary, Q1_SQL),
+        "q3_top_orders": QueryDef(q3_top_orders, Q3_SQL),
+        "q5_nation_revenue": QueryDef(q5_nation_revenue, Q5_SQL),
+        "q6_revenue": QueryDef(q6_revenue, Q6_SQL),
+        "top_customers": QueryDef(top_customers, TOP_CUSTOMERS_SQL),
+        "nation_topk_customers": QueryDef(nation_topk_customers, NATION_TOPK_SQL),
+        "orders_histogram": QueryDef(orders_histogram, ORDERS_HIST_SQL),
+        "events_hourly_rollup": QueryDef(events_hourly_rollup, EVENTS_HOURLY_SQL),
+        "events_null_rate": QueryDef(events_null_rate, EVENTS_NULL_SQL),
+        "events_drift_psi": QueryDef(events_drift_psi, EVENTS_PSI_SQL),
+        "customers_without_orders": QueryDef(
+            customers_without_orders, CUST_NO_ORDERS_SQL
+        ),
+        "dup_groups_custkey": QueryDef(dup_groups_custkey, DUP_CUSTKEY_SQL),
+        "quantiles_lineitem": QueryDef(quantiles_lineitem, QUANTILES_SQL),
+        "stats_summary_lineitem": QueryDef(stats_summary_lineitem, STATS_SUMMARY_SQL),
+        "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
+        "text_quality": QueryDef(text_quality, TEXT_QUALITY_SQL),
+        "text_langid_counts": QueryDef(text_langid_counts, _langid_sql()),
+        "text_fingerprint": QueryDef(text_fingerprint, FINGERPRINT_SQL),
+        "dedup_exact_docs": QueryDef(dedup_exact_docs, DEDUP_EXACT_SQL),
+        "dedup_minhash_sigs": QueryDef(dedup_minhash_sigs, _minhash_sql()),
+        "dedup_lsh_pairs": QueryDef(dedup_lsh_pairs, _lsh_sql()),
+        "dedup_jaccard_pairs": QueryDef(dedup_jaccard_pairs, _jaccard_sql()),
+        "dedup_simhash": QueryDef(dedup_simhash, _simhash_sql()),
+        "dedup_embedding_cosine": QueryDef(dedup_embedding_cosine, EMB_NEARDUP_SQL),
+        "sim_cosine_topk": QueryDef(sim_cosine_topk, SIM_TOPK_SQL),
+        "sim_srp_buckets": QueryDef(sim_srp_buckets, _srp_sql()),
+        "clips_stats_by_part": QueryDef(clips_stats_by_part, CLIPS_STATS_SQL),
+        "clips_dup_ids": QueryDef(clips_dup_ids, CLIPS_DUP_SQL),
+        "clips_fixture_missing": QueryDef(clips_fixture_missing, CLIPS_MISSING_SQL),
+        "clips_transcript_mismatch": QueryDef(
+            clips_transcript_mismatch, CLIPS_TR_MISMATCH_SQL
+        ),
+        "clips_dur_hist": QueryDef(clips_dur_hist, _clips_hist_sql()),
+        "validation_violations": QueryDef(validation_violations, None),
+    }
+
+
+REGISTRY = build_registry()

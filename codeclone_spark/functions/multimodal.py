@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: image / video as opaque binary + typed
+metadata, processed by Arrow-batched ``mapInPandas`` stages.
+
+The sandbox has no image/video libraries, so the decode kernels are
+STUBBED (deterministic fakes clearly marked below) per the build spec —
+but the Spark-side contract is real and tested: schema, batch shape,
+error-row discipline (never fail a task on one bad payload), byte budget,
+and the drop-binary-before-shuffle rule, identical to the audio pass in
+``functions/audio.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MAX_BLOB_BYTES = 64 * 1024 * 1024
+
+IMAGE_FACTS_SCHEMA = StructType(
+    [
+        StructField("item_id", StringType()),
+        StructField("format", StringType()),
+        StructField("decode_ok", BooleanType()),
+        StructField("error_kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+
+def _fake_decode_image(payload: bytes, fmt: str) -> np.ndarray:
+    """DETERMINISTIC FAKE decode (no image libs in this container).
+
+    Real deployment: swap for PIL/libvips inside the same batch loop.
+    The fake derives a stable 8x8 'image' from the payload hash so the
+    downstream feature math (resize, luma, phash) is exercised for real.
+    """
+    if fmt not in ("png", "jpeg", "webp"):
+        raise ValueError(f"unsupported format {fmt!r}")
+    if len(payload) < 8:
+        raise ValueError("payload too short")
+    h = hashlib.sha256(payload).digest()
+    arr = np.frombuffer((h * 2)[:64], dtype=np.uint8).astype(np.float64)
+    return arr.reshape(8, 8)
+
+
+def image_facts_map_in_pandas(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Input batch columns: item_id, payload (binary), format.
+    Output: IMAGE_FACTS_SCHEMA rows; payload consumed, never emitted."""
+    for pdf in batches:
+        out = {c.name: [] for c in IMAGE_FACTS_SCHEMA.fields}
+        for item_id, payload, fmt in zip(
+            pdf["item_id"], pdf["payload"], pdf["format"]
+        ):
+            row = {
+                "item_id": item_id,
+                "format": fmt,
+                "decode_ok": False,
+                "error_kind": None,
+                "width": None,
+                "height": None,
+                "mean_luma": None,
+                "phash": None,
+            }
+            try:
+                if payload is None:
+                    raise ValueError("null payload")
+                if len(payload) > MAX_BLOB_BYTES:
+                    row["error_kind"] = "blob_too_large"
+                else:
+                    img = _fake_decode_image(bytes(payload), fmt)
+                    row["decode_ok"] = True
+                    row["width"], row["height"] = img.shape[1], img.shape[0]
+                    row["mean_luma"] = float(img.mean())
+                    bits = (img > img.mean()).flatten()
+                    row["phash"] = "".join("1" if b else "0" for b in bits)
+            except Exception as e:
+                row["error_kind"] = row["error_kind"] or f"undecodable:{type(e).__name__}"
+            for k, v in row.items():
+                out[k].append(v)
+        yield pd.DataFrame(out)

@@ -1,0 +1,224 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash(+LSH banding), SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — the standard web-scale dedup ladder.  Design notes per operator:
+
+- Hashing is md5-based (``conv(substr(md5(x),1,15),16,10)`` → 60-bit int)
+  so every signature is reproducible bit-for-bit in ANSI SQL — the DuckDB
+  oracle re-derives MinHash/SimHash signatures independently, which is a far
+  stronger correctness check than row counts.
+- The two-level key trick mirrors the reference's segment grouping
+  (``blocks/__init__.py:82-132``: cheap order-insensitive ``segment_sig``
+  prunes before the exact ``segment_hash``): LSH band buckets are the cheap
+  permissive key, exact Jaccard verification is the expensive key.
+- Shingle explosion is bounded: ``distinct`` before the self-join keeps the
+  inverted index tight; at 100 TB you additionally band by prefix
+  (``F.pmod(F.hash(shingle), B)``) to cap reducer fan-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 8  # permutations
+SHINGLE_K = 5  # char shingle width
+SIMHASH_BITS = 32
+
+
+def h60(col: Column, seed: int | str = "") -> Column:
+    """60-bit integer hash, reproducible in DuckDB:
+    ``('0x'||substr(md5(seed||x),1,15))::UBIGINT``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed)), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash (reference build_groups
+    semantics: group on fingerprint, keep size > 1)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("min_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct character k-grams per document: (id, shingle).
+    Built from sequence+transform+explode — pure Catalyst, no UDF."""
+    positions = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))
+    shingles = F.transform(positions, lambda i: F.substring(F.col(text_col), i, F.lit(k)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
+        .filter(F.length("shingle") == k)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = MINHASH_K
+) -> DataFrame:
+    """(id) -> minhash_i columns. One groupBy computes all K mins
+    (map-side combine keeps the shuffle tiny)."""
+    aggs = [
+        F.min(h60(F.col("shingle"), seed=i)).alias(f"mh{i}") for i in range(n_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def minhash_signature_groups(
+    df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K, n_hashes: int = MINHASH_K
+) -> DataFrame:
+    """Near-dup groups = identical full MinHash signature (high-precision
+    variant; LSH banding below is the high-recall variant)."""
+    sigs = minhash_signatures(char_shingles(df, id_col, text_col, k), n_hashes)
+    sig_key = F.concat_ws("|", *[F.col(f"mh{i}").cast("string") for i in range(n_hashes)])
+    return (
+        sigs.select(F.col("id"), sig_key.alias("signature"))
+        .groupBy("signature")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("min_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SHINGLE_K,
+    n_hashes: int = MINHASH_K,
+    band_size: int = 2,
+) -> DataFrame:
+    """MinHash-LSH: band the signature, bucket-join within bands, emit
+    distinct candidate pairs (a < b).  shuffle keys are (band_idx, band_key)
+    — uniform by construction, no skew."""
+    sigs = minhash_signatures(char_shingles(df, id_col, text_col, k), n_hashes)
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select("id", F.explode(bands).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SHINGLE_K,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted shingle index: self-join on
+    shingle -> pair intersection counts -> |A∪B| via per-doc set sizes."""
+    sh = char_shingles(df, id_col, text_col, k).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    res = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return res
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash over whitespace tokens: per-bit majority vote of
+    60-bit token hashes.  Expressed as one explode + one groupBy with *bits*
+    conditional sums — no UDF, fully SQL-reproducible."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .withColumn("h", h60(F.col("tok")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return agg.select("id", sig.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs.  *block_col* is the blocking key
+    (e.g. a cluster/label id or an LSH bucket) that turns the O(n^2) join
+    into per-block joins — mandatory at scale, optional at test scale."""
+    vec = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        vec.alias("v"),
+        norm.alias("nrm"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

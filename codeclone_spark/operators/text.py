@@ -73,7 +73,9 @@ def quality_score(col: Column) -> Column:
     len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
     punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
     sw_score = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
-    return F.round(0.4 * len_score + 0.3 * punct_score + 0.3 * sw_score, 6)
+    # the exact value has <= 7 decimal digits (inputs are 6-decimal-rounded),
+    # so rounding to 7 never hits a half-way point -> engine-independent
+    return F.round(0.4 * len_score + 0.3 * punct_score + 0.3 * sw_score, 7)
 
 
 def lang_scores(col: Column) -> dict[str, Column]:

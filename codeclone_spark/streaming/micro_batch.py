@@ -1,0 +1,78 @@
+"""Structured Streaming validation over a clips stream.
+
+``stream_validate`` wires readStream(parquet dir) -> foreachBatch(batch rule
+pass) -> violations sink.  Watermarked windowed violation counts give the
+drift-style rolling view.  Used by tests with a file-source stream; on a
+real deployment the source is Kafka/Iceberg-CDC and the sink an Iceberg
+append — same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from codeclone_spark.operators.rules import evaluate_row_rules
+from codeclone_spark.plans.facts import FACTS_OUT_SCHEMA, read_fixtures
+from codeclone_spark.functions.audio import facts_map_in_pandas
+from codeclone_spark.schema import CLIPS_SCHEMA
+
+
+def stream_validate(
+    spark: SparkSession,
+    clips_stream_dir: str,
+    fixtures_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Micro-batch validation: each batch runs the same fused decode pass +
+    single-scan rule evaluation as the batch engine, appending violation
+    parquet.  `trigger once` processes the backlog and stops (test mode)."""
+    fixtures = spark.read.parquet(fixtures_path).select(
+        "clip_id",
+        F.col("pcm_sha256").alias("fx_sha256"),
+        "pcm_ref",
+        "expected_transcript",
+        "expected_dur_ms",
+    )
+
+    stream = (
+        spark.readStream.schema(CLIPS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(clips_stream_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        joined = batch_df.join(fixtures, "clip_id", "left")
+        facts = joined.mapInPandas(facts_map_in_pandas, schema=FACTS_OUT_SCHEMA)
+        viol = evaluate_row_rules(facts).withColumn("batch_id", F.lit(batch_id))
+        viol.write.mode("append").parquet(out_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_violation_counts(
+    violations: DataFrame, ts_col: str = "ts", window: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per rule — the rolling drift view
+    (usable on a stream with `withWatermark`, or on a batch frame as-is)."""
+    df = violations
+    if isinstance(df, DataFrame) and df.isStreaming:
+        df = df.withWatermark(ts_col, "2 hours")
+    return (
+        df.groupBy(F.window(F.col(ts_col), window).alias("w"), "rule_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "rule_id",
+            "n",
+        )
+    )

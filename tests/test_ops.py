@@ -1,0 +1,165 @@
+"""Dedup / text / similarity operators on crafted in-memory frames."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from codeclone_spark.operators import dedup as dd
+from codeclone_spark.operators import similarity as sim
+from codeclone_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different words appear here instead today"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dup_groups(docs):
+    g = dd.exact_dup_groups(docs, "doc_id", "text").collect()
+    assert len(g) == 1
+    assert g[0]["n"] == 2 and g[0]["min_id"] == 1
+
+
+def test_char_shingles(docs):
+    sh = dd.char_shingles(docs, "doc_id", "text", k=5)
+    row = sh.filter(F.col("id") == 4).count()
+    text = "completely different words appear here instead today"
+    expected = len(set(text[i : i + 5] for i in range(len(text) - 4)))
+    assert row == expected
+    assert sh.filter(F.col("id") == 5).count() == 0  # empty doc -> no shingles
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    sigs = {r["id"]: tuple(r[i] for i in range(1, 9))
+            for r in dd.minhash_signatures(dd.char_shingles(docs, "doc_id", "text")).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_minhash_groups(docs):
+    g = dd.minhash_signature_groups(docs, "doc_id", "text").collect()
+    assert any(r["n"] >= 2 and r["min_id"] == 1 for r in g)
+
+
+def test_lsh_recall_of_exact_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.lsh_candidate_pairs(docs, "doc_id", "text").collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 3) in pairs  # near dup shares most shingles
+
+
+def test_jaccard_pairs(docs):
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dd.jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert rows[(1, 2)] == 1.0
+    assert 0.5 <= rows[(1, 3)] < 1.0
+    assert (1, 4) not in rows
+
+
+def test_simhash_close_for_neardups(docs):
+    s = {r["id"]: r["simhash"] for r in dd.simhash(docs, "doc_id", "text").collect()}
+    assert s[1] == s[2]
+    ham_13 = bin(s[1] ^ s[3]).count("1")
+    ham_14 = bin(s[1] ^ s[4]).count("1")
+    assert ham_13 < ham_14  # near dup closer than unrelated doc
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [1.0, 0.0, 0.0], 1),  # different block -> never paired
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.embedding_neardup_pairs(df, "vec_id", "embedding", "label", 0.95).collect()}
+    assert pairs == {(1, 2)}
+
+
+# --------------------------------------------------------------- text ----
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("  ",), ("one",)], ["t"])
+    got = [r["n"] for r in df.select(tx.token_count(F.col("t")).alias("n")).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_punct_and_stopword_ratio(spark):
+    df = spark.createDataFrame([("the cat!!",)], ["t"])
+    r = df.select(
+        tx.punct_ratio(F.col("t")).alias("p"),
+        tx.stopword_ratio(F.col("t")).alias("s"),
+    ).collect()[0]
+    assert r["p"] == pytest.approx(2 / 9, abs=1e-6)
+    assert r["s"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in that house with food",),
+            ("el gato y la casa de los perros en una calle",),
+            ("der hund und die katze ist nicht ein gutes tier mit",),
+            ("xyzzy plugh qwerty",),
+        ],
+        ["t"],
+    )
+    got = [r["l"] for r in df.select(tx.lang_id(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "es", "de", "und"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([("Hello   World",), ("hello world",)], ["t"])
+    fps = [r["f"] for r in df.select(tx.fingerprint(F.col("t")).alias("f")).collect()]
+    assert fps[0] == fps[1]
+
+
+# ---------------------------------------------------------- similarity ----
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(50, 8)).astype("float32")
+    q = [float(x) for x in vecs[0]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    got = [r["id"] for r in sim.cosine_topk(df, "vec_id", "embedding", q, k=5).collect()]
+    sims = vecs.astype("float64") @ np.array(q)
+    sims = sims / (np.linalg.norm(vecs.astype("float64"), axis=1) * np.linalg.norm(q))
+    expect = list(np.argsort(-sims)[:5])
+    assert got == [int(x) for x in expect]
+    assert got[0] == 0  # query vector itself on top
+
+
+def test_srp_bucket_matches_python(spark):
+    planes = sim.plane_signs(4, 3)
+    vec = [0.5, -1.0, 2.0]
+    expect = sum(
+        2**p for p, pl in enumerate(planes) if sum(s * v for s, v in zip(pl, vec)) > 0
+    )
+    df = spark.createDataFrame([(1, vec)], ["vec_id", "embedding"])
+    got = sim.srp_buckets(df, "vec_id", "embedding", n_planes=4, dim=3).collect()[0]
+    assert got["bucket"] == expect
+
+
+def test_ann_srp_contains_query_neighbors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(100, 16)).astype("float64")
+    q = [float(x) for x in vecs[7]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    got = sim.ann_topk_srp(df, "vec_id", "embedding", q, k=5, n_planes=4)
+    rows = got.collect()
+    assert rows and rows[0]["id"] == 7  # same bucket as itself, cosine 1.0
+    assert rows[0]["cosine"] == pytest.approx(1.0, abs=1e-6)

@@ -1,0 +1,73 @@
+"""Physical-plan assertions: the plans we demand at 100 TB must be visible
+in .explain output at test scale — partition pruning, column pruning,
+broadcast-vs-SMJ join choice, and single-scan (shuffle-free) rule evaluation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from codeclone_spark.operators.rules import evaluate_row_rules
+from codeclone_spark.plans.facts import build_facts, read_clips, read_fixtures
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_partition_pruning_on_part_filter(spark, tiny_dir):
+    clips = read_clips(spark, tiny_dir)
+    pruned = clips.filter(F.col("part").isin(["pcm_s16le-b00"]))
+    plan = _plan(pruned.select("clip_id"))
+    assert "PartitionFilters" in plan
+    # the partition filter must actually contain the part predicate
+    assert "part" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_column_pruning_uniqueness_scan(spark, tiny_dir):
+    clips = read_clips(spark, tiny_dir)
+    ids_only = clips.select("clip_id", "part")
+    plan = _plan(ids_only)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # the heavy binary column must NOT be read for the uniqueness pass
+    assert "bytes" not in read_schema
+    assert "clip_id" in read_schema
+
+
+def test_fixture_join_broadcast_small(spark, tiny_dir):
+    clips = read_clips(spark, tiny_dir)
+    fixtures = read_fixtures(spark, tiny_dir)
+    facts = build_facts(clips, fixtures)
+    plan = _plan(facts)
+    assert "BroadcastHashJoin" in plan  # tiny fixtures fit the threshold
+
+
+def test_fixture_join_smj_forced(spark, tiny_dir):
+    clips = read_clips(spark, tiny_dir)
+    fixtures = read_fixtures(spark, tiny_dir)
+    facts = build_facts(clips, fixtures, force_smj=True)
+    plan = _plan(facts)
+    assert "SortMergeJoin" in plan  # the cluster-scale fixtures path
+
+
+def test_row_rules_are_single_pass_no_shuffle(spark, tiny_dir):
+    """All row rules evaluate in one projection+generate over facts —
+    an Exchange here would mean a per-rule shuffle creep."""
+    clips = read_clips(spark, tiny_dir)
+    fixtures = read_fixtures(spark, tiny_dir)
+    facts = build_facts(clips, fixtures)
+    viol = evaluate_row_rules(facts)
+    plan = _plan(viol)
+    body = plan.split("== Physical Plan ==")[-1]
+    # the only allowed exchange is the fixture join's broadcast
+    assert "Exchange hashpartitioning" not in body
+    assert "Generate explode" in body or "Generate" in body
+
+
+def test_filter_pushdown_to_parquet(spark, tiny_dir):
+    clips = read_clips(spark, tiny_dir)
+    q = clips.filter(F.col("sr_hz") == 16000).select("clip_id")
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    assert "sr_hz" in plan.split("PushedFilters")[1][:200]
