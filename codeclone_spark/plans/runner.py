@@ -96,6 +96,14 @@ def _round_floats(obj: Any, nd: int = 6) -> Any:
 
 def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     t0 = time.monotonic()
+    phases: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.monotonic()
+        phases[name] = round(phases.get(name, 0.0) + (now - _last[0]), 3)
+        _last[0] = now
+
     os.makedirs(cfg.out_dir, exist_ok=True)
     ledger = Ledger(os.path.join(cfg.out_dir, "ledger.json"))
 
@@ -122,13 +130,18 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
                 snapshot = None
     accepted = sorted((snapshot or {}).get("accepted_violations", []))
 
+    from codeclone_spark.sources import validate_clips_schema, validate_data_dir
+
+    validate_data_dir(cfg.data_dir)
     clips = read_clips(spark, cfg.data_dir)
+    validate_clips_schema(clips)
     fixtures = read_fixtures(spark, cfg.data_dir)
 
     # --- stage 2: discovery (partition-column-only scan; metadata cheap)
     all_parts = sorted(
         r["part"] for r in clips.select("part").distinct().collect()
     )
+    _mark("discovery")
     done = ledger.done_parts() & set(all_parts)
     todo = [p for p in all_parts if p not in done]
     resumed = len(done)
@@ -149,8 +162,10 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             .write.mode("overwrite")
             .parquet(os.path.join(wave_path, "violations"))
         )
+        _mark("wave_facts_and_row_rules")
 
         aggs = partition_aggregates(facts).collect()
+        _mark("wave_partition_aggs")
         # per-partition violation digests for the ledger (stable identity)
         vdig = {
             r["partition"]: (r["digest"], r["n"])
@@ -201,6 +216,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             )
         facts.unpersist()
         ledger.save()  # durable commit point: wave outputs + entries together
+        _mark("wave_ledger_digests")
 
     # missing-from-ledger guard (a part listed but never processed)
     entries = [ledger.partitions[p] for p in all_parts if p in ledger.partitions]
@@ -228,18 +244,25 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         F.lit("unique clip_id").alias("expected"),
     )
 
-    wave_dirs = sorted(
-        {
-            os.path.join(waves_dir, e["wave"], "violations")
-            for e in entries
-            if "wave" in e
-        }
-    )
-    if wave_dirs:
-        row_viol = spark.read.parquet(*wave_dirs)
-        all_viol = row_viol.unionByName(uniq_viol)
-    else:
-        all_viol = uniq_viol
+    # Assemble row violations from the waves the ledger references — each
+    # wave dir FILTERED to the partitions the ledger assigns to it.  After a
+    # crash-resume, a partition can be re-processed in a new wave while its
+    # old wave's dir still holds stale rows for it; the filter makes resume
+    # idempotent (verified by test_resume_converges).
+    wave_parts: dict[str, list[str]] = {}
+    for p in all_parts:
+        e = ledger.partitions.get(p)
+        if e and "wave" in e:
+            wave_parts.setdefault(e["wave"], []).append(p)
+    wave_dfs = [
+        spark.read.parquet(os.path.join(waves_dir, w, "violations")).filter(
+            F.col("partition").isin(parts)
+        )
+        for w, parts in sorted(wave_parts.items())
+    ]
+    all_viol = uniq_viol
+    for wdf in wave_dfs:
+        all_viol = all_viol.unionByName(wdf)
 
     # --- stage 5b: baseline accepted-set diff (broadcast anti-join — the
     # reference's diff_clone_groups set difference, baseline/diff.py:23-32)
@@ -253,6 +276,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         F.sum(F.when(F.col("accepted").isNull(), 1).otherwise(0)).alias("n_new"),
     )
 
+    _mark("uniqueness_and_ndv")
     part_rows = spark.createDataFrame(
         [(p, int(ledger.partitions[p]["rows"])) for p in all_parts],
         ["part", "rows"],
@@ -298,6 +322,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     final_verd = verdicts.orderBy("partition", "rule_id")
     final_viol.coalesce(1).write.mode("overwrite").parquet(violations_path)
     final_verd.coalesce(1).write.mode("overwrite").parquet(verdicts_path)
+    _mark("final_writes")
 
     final_viol = spark.read.parquet(violations_path)
     final_verd = spark.read.parquet(verdicts_path)
@@ -385,8 +410,11 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         "baseline": {"trusted": trust.trusted, "reason": trust.reason},
         "warnings": warnings,
         "elapsed_sec": round(time.monotonic() - t0, 3),
+        "phases": {**phases, "report_aggs": round(time.monotonic() - _last[0], 3)},
     }
-    body = _round_floats({k: v for k, v in report.items() if k != "elapsed_sec"})
+    body = _round_floats(
+        {k: v for k, v in report.items() if k not in ("elapsed_sec", "phases")}
+    )
     report["integrity"] = {
         "run_digest": run_digest,
         "report_sha256": hashlib.sha256(
