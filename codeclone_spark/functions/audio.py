@@ -149,6 +149,115 @@ def _facts_for_row(
     return out
 
 
+# ----------------------------------------------------- two-phase variant --
+# Phase A: decode over the bare clips scan — map-only, the heavy `bytes`
+# column never enters a shuffle.  Phase B (plans/facts.py) joins small meta
+# columns; phase C re-reads PCM only for sha-mismatched rows to compute SNR.
+DECODE_CARRIED = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript", "part"]
+DECODE_FACTS = [
+    "transcript_nfc",
+    "decode_ok",
+    "error_kind",
+    "decoded_samples",
+    "decoded_dur_ms",
+    "pcm_sha256",
+    "rms",
+    "peak",
+    "clipping_ratio",
+]
+
+
+def _decode_row(payload, codec, sr_hz) -> dict[str, Any]:
+    out: dict[str, Any] = {
+        "decode_ok": False,
+        "error_kind": None,
+        "decoded_samples": None,
+        "decoded_dur_ms": None,
+        "pcm_sha256": None,
+        "rms": None,
+        "peak": None,
+        "clipping_ratio": None,
+    }
+    if payload is None:
+        out["error_kind"] = "null_bytes"
+        return out
+    if len(payload) > MAX_CLIP_BYTES:
+        out["error_kind"] = "clip_too_large"
+        return out
+    try:
+        pcm = decode_pcm(codec, bytes(payload))
+    except Exception:
+        out["error_kind"] = "undecodable"
+        return out
+    out["decode_ok"] = True
+    n = int(pcm.shape[0])
+    out["decoded_samples"] = n
+    sr = int(sr_hz) if sr_hz is not None and not pd.isna(sr_hz) else None
+    if sr and sr > 0:
+        out["decoded_dur_ms"] = float(n * 1000.0 / sr)
+    x = pcm.astype(np.float64) / 32768.0
+    if n:
+        out["rms"] = float(np.sqrt(np.mean(x * x)))
+        out["peak"] = float(np.max(np.abs(x)))
+        out["clipping_ratio"] = float(np.mean(np.abs(pcm) >= 32767))
+    out["pcm_sha256"] = hashlib.sha256(pcm.astype("<i2").tobytes()).hexdigest()
+    return out
+
+
+def decode_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Phase A: bare-scan decode; emits carried + decode facts, consumes
+    `bytes`.  No fixture inputs -> no shuffle upstream of this map."""
+    for pdf in batches:
+        n = len(pdf)
+        cols: dict[str, list] = {c: [None] * n for c in DECODE_FACTS}
+        payloads = pdf["bytes"].to_numpy(dtype=object)
+        codecs = pdf["codec"].to_numpy(dtype=object)
+        srs = pdf["sr_hz"].to_numpy(dtype=object)
+        trs = pdf["transcript"].to_numpy(dtype=object)
+        for i in range(n):
+            row = _decode_row(payloads[i], codecs[i], srs[i])
+            for k, v in row.items():
+                cols[k][i] = v
+            cols["transcript_nfc"][i] = _nfc(trs[i])
+        out = pdf[DECODE_CARRIED].copy()
+        for k in DECODE_FACTS:
+            out[k] = cols[k]
+        yield out
+
+
+def snr_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Phase C: SNR vs fixture PCM for the (small) sha-mismatch subset.
+    Input: clip_id, bytes, codec, pcm_ref.  Output: clip_id, snr_db."""
+    for pdf in batches:
+        ids, snrs = [], []
+        payloads = pdf["bytes"].to_numpy(dtype=object)
+        codecs = pdf["codec"].to_numpy(dtype=object)
+        refs = pdf["pcm_ref"].to_numpy(dtype=object)
+        cids = pdf["clip_id"].to_numpy(dtype=object)
+        for i in range(len(pdf)):
+            snr = None
+            if payloads[i] is not None and refs[i] is not None:
+                try:
+                    pcm = decode_pcm(codecs[i], bytes(payloads[i]))
+                except Exception:
+                    pcm = None
+                if pcm is not None:
+                    ref = np.frombuffer(bytes(refs[i]), dtype="<i2")
+                    if ref.shape[0] == pcm.shape[0] and pcm.shape[0] > 0:
+                        r = ref.astype(np.float64)
+                        err = r - pcm.astype(np.float64)
+                        ep = float(np.sum(err * err))
+                        sp = float(np.sum(r * r))
+                        snr = (
+                            LOSSLESS_SNR_DB
+                            if ep == 0.0
+                            else 10.0 * np.log10(max(sp, 1e-12) / ep)
+                        )
+            ids.append(cids[i])
+            snrs.append(snr)
+        yield pd.DataFrame({"clip_id": ids, "snr_db": snrs})
+
+
 def facts_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """``mapInPandas`` body: consume bytes/pcm_ref, emit carried + fact cols."""
     for pdf in batches:

@@ -49,7 +49,13 @@ from codeclone_spark.operators.rules import (
     violation_key,
 )
 from codeclone_spark.plans import baseline as bl
-from codeclone_spark.plans.facts import build_facts, read_clips, read_fixtures
+from codeclone_spark.plans.facts import (
+    assemble_facts,
+    build_facts,
+    decode_stage,
+    read_clips,
+    read_fixtures,
+)
 from codeclone_spark.plans.ledger import Ledger, merge_partials
 
 TABLE_SCOPE = "<table>"
@@ -64,6 +70,7 @@ class RunConfig:
     update_baseline: bool = False
     wave_size: int | None = None  # None -> single wave (max parallelism)
     force_smj: bool = False
+    snr_strategy: str = "two_phase"  # or "full_join" (lossy-dominated tables)
     gates: GateConfig = field(default_factory=GateConfig)
     created_at: str = bl.DEFAULT_CREATED_AT
 
@@ -153,7 +160,25 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     for wi, wave in enumerate(_chunks(todo, cfg.wave_size)):
         wave_id = hashlib.sha1("|".join(wave).encode()).hexdigest()[:12]
         wave_path = os.path.join(waves_dir, f"wave-{wave_id}")
-        facts = build_facts(clips, fixtures, parts=wave, force_smj=cfg.force_smj)
+        wave_clips = clips.filter(F.col("part").isin(wave))
+        if cfg.snr_strategy == "full_join":
+            facts = build_facts(
+                clips, fixtures, parts=wave, force_smj=cfg.force_smj,
+                snr_strategy="full_join",
+            )
+            decoded = None
+        else:
+            # persist phase A so bytes are decoded exactly once per wave
+            # (both the rule pass and the SNR-suspect branch consume it).
+            # count() materializes the cache BEFORE dependent plans build:
+            # otherwise the suspects broadcast job and the main write job
+            # race to compute the same uncached decode subtree concurrently
+            # (observed: 3 concurrent 31-task stages thrashing 32 cores).
+            decoded = decode_stage(wave_clips).persist()
+            decoded.count()
+            facts = assemble_facts(
+                decoded, wave_clips, fixtures, force_smj=cfg.force_smj
+            )
         facts = facts.persist()
 
         viol = evaluate_row_rules(facts)
@@ -215,6 +240,8 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
                 },
             )
         facts.unpersist()
+        if decoded is not None:
+            decoded.unpersist()
         ledger.save()  # durable commit point: wave outputs + entries together
         _mark("wave_ledger_digests")
 

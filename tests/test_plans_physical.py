@@ -40,7 +40,7 @@ def test_fixture_join_broadcast_small(spark, tiny_dir):
     fixtures = read_fixtures(spark, tiny_dir)
     facts = build_facts(clips, fixtures)
     plan = _plan(facts)
-    assert "BroadcastHashJoin" in plan  # tiny fixtures fit the threshold
+    assert "BroadcastHashJoin" in plan  # tiny fixture meta fits the threshold
 
 
 def test_fixture_join_smj_forced(spark, tiny_dir):
@@ -51,12 +51,26 @@ def test_fixture_join_smj_forced(spark, tiny_dir):
     assert "SortMergeJoin" in plan  # the cluster-scale fixtures path
 
 
+def test_two_phase_decode_is_map_only(spark, tiny_dir):
+    """Phase A of the two-phase facts plan: decode runs directly over the
+    scan — the heavy `bytes` column must never enter an Exchange."""
+    from codeclone_spark.functions.audio import decode_map_in_pandas
+    from codeclone_spark.plans.facts import DECODE_OUT_SCHEMA
+
+    clips = read_clips(spark, tiny_dir)
+    decoded = clips.mapInPandas(decode_map_in_pandas, schema=DECODE_OUT_SCHEMA)
+    body = _plan(decoded).split("== Physical Plan ==")[-1]
+    assert "Exchange" not in body
+    assert "MapInPandas" in body
+
+
 def test_row_rules_are_single_pass_no_shuffle(spark, tiny_dir):
     """All row rules evaluate in one projection+generate over facts —
-    an Exchange here would mean a per-rule shuffle creep."""
+    an Exchange here would mean a per-rule shuffle creep.  Uses the
+    full_join strategy whose facts plan is shuffle-free after the join."""
     clips = read_clips(spark, tiny_dir)
     fixtures = read_fixtures(spark, tiny_dir)
-    facts = build_facts(clips, fixtures)
+    facts = build_facts(clips, fixtures, snr_strategy="full_join")
     viol = evaluate_row_rules(facts)
     plan = _plan(viol)
     body = plan.split("== Physical Plan ==")[-1]
