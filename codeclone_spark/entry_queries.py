@@ -474,6 +474,100 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def rollup_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-granularity stats via ROLLUP (orderstatus, orderpriority)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def setops_active_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Set algebra (the reference's known/new novelty split uses the same
+    semi/anti machinery): customers with orders in BOTH halves of the
+    window (intersect) minus a high-value set (except)."""
+    o = _t(spark, sf, "orders")
+    early = o.filter(F.col("o_orderdate") < "1998-01-01").select("o_custkey")
+    late = o.filter(F.col("o_orderdate") >= "1998-01-01").select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    # intersect/subtract carry SQL set-distinct semantics, matching the oracle
+    return early.intersect(late).subtract(big).orderBy("o_custkey")
+
+
+SETOPS_SQL = """
+SELECT o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+)
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000
+ORDER BY o_custkey
+"""
+
+
+def distinct_users_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe exact NDV per key (two-stage distinct -> count)."""
+    from codeclone_spark.operators.skew import skew_safe_count_distinct
+
+    e = _t(spark, sf, "events")
+    return skew_safe_count_distinct(e, "event_type", "user_id").orderBy("event_type")
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS ndv
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def salted_codec_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Stats on the intentionally-skewed codec column via the salted
+    two-stage aggregation operator (75% of rows share one codec)."""
+    from codeclone_spark.operators.skew import salted_group_stats
+
+    c = _clips(spark, sf)
+    out = salted_group_stats(
+        c,
+        keys=["codec"],
+        aggs={
+            "rows": ("count", "clip_id"),
+            "dur_min": ("min", "dur_ms"),
+            "dur_max": ("max", "dur_ms"),
+            "dur_mean": ("avg", "dur_ms"),
+        },
+    )
+    return out.select(
+        "codec", "rows", "dur_min", "dur_max", F.round("dur_mean", 4).alias("dur_mean")
+    ).orderBy("codec")
+
+
+SALTED_CODEC_SQL = f"""
+SELECT codec, count(*) AS rows, min(dur_ms) AS dur_min, max(dur_ms) AS dur_max,
+       round(avg(dur_ms), 4) AS dur_mean
+FROM {_CLIPS_SQL} GROUP BY codec ORDER BY codec
+"""
+
+
 # ================================================================= text ----
 _SW = "', '".join(tx.EN_STOPWORDS)
 
@@ -899,6 +993,10 @@ def build_registry() -> dict[str, QueryDef]:
         "dup_groups_custkey": QueryDef(dup_groups_custkey, DUP_CUSTKEY_SQL),
         "quantiles_lineitem": QueryDef(quantiles_lineitem, QUANTILES_SQL),
         "stats_summary_lineitem": QueryDef(stats_summary_lineitem, STATS_SUMMARY_SQL),
+        "rollup_order_stats": QueryDef(rollup_order_stats, ROLLUP_SQL),
+        "setops_active_customers": QueryDef(setops_active_customers, SETOPS_SQL),
+        "distinct_users_by_type": QueryDef(distinct_users_by_type, DISTINCT_USERS_SQL),
+        "salted_codec_stats": QueryDef(salted_codec_stats, SALTED_CODEC_SQL),
         "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
         "text_quality": QueryDef(text_quality, TEXT_QUALITY_SQL),
         "text_langid_counts": QueryDef(text_langid_counts, _langid_sql()),

@@ -67,13 +67,28 @@ def read_clips(spark: SparkSession, data_dir: str) -> DataFrame:
     return spark.read.parquet(f"{data_dir}/clips")
 
 
-def read_fixtures(spark: SparkSession, data_dir: str) -> DataFrame:
+def read_fixtures_meta(spark: SparkSession, data_dir: str) -> DataFrame:
+    """Small fixture meta table (sha, transcript, dur) — all phase B needs."""
     return spark.read.parquet(f"{data_dir}/fixtures_ref.parquet").select(
         "clip_id",
         F.col("pcm_sha256").alias("fx_sha256"),
-        "pcm_ref",
         "expected_transcript",
         "expected_dur_ms",
+    )
+
+
+def read_fixtures_pcm(spark: SparkSession, data_dir: str) -> DataFrame:
+    """Canonical-PCM blob table, hive-partitioned by the same `part` key as
+    clips so the SNR phase prunes to suspect partitions."""
+    return spark.read.parquet(f"{data_dir}/fixtures_pcm")
+
+
+def read_fixtures(spark: SparkSession, data_dir: str) -> DataFrame:
+    """Joined meta+PCM view (the full_join strategy / streaming path)."""
+    return read_fixtures_meta(spark, data_dir).join(
+        read_fixtures_pcm(spark, data_dir).select("clip_id", "pcm_ref"),
+        "clip_id",
+        "left",
     )
 
 
@@ -121,7 +136,8 @@ def _nfc_udf():
 
 def build_facts(
     clips: DataFrame,
-    fixtures: DataFrame,
+    fixtures_meta: DataFrame,
+    fixtures_pcm: DataFrame,
     parts: list[str] | None = None,
     force_smj: bool = False,
     snr_strategy: str = "two_phase",
@@ -148,15 +164,21 @@ def build_facts(
     """
     if parts is not None:
         clips = clips.filter(F.col("part").isin(parts))
+        fixtures_pcm = fixtures_pcm.filter(F.col("part").isin(parts))
 
     if snr_strategy == "full_join":
+        fixtures = fixtures_meta.join(
+            fixtures_pcm.select("clip_id", "pcm_ref"), "clip_id", "left"
+        ).select(
+            "clip_id", "fx_sha256", "pcm_ref", "expected_transcript", "expected_dur_ms"
+        )
         fx = fixtures.hint("merge") if force_smj else fixtures
         joined = clips.join(fx, "clip_id", "left")
         return joined.mapInPandas(facts_map_in_pandas, schema=FACTS_OUT_SCHEMA)
 
     # --- phase A: map-only decode (no shuffle of bytes)
     decoded = decode_stage(clips)
-    return assemble_facts(decoded, clips, fixtures, force_smj=force_smj)
+    return assemble_facts(decoded, clips, fixtures_meta, fixtures_pcm, force_smj)
 
 
 def decode_stage(clips: DataFrame) -> DataFrame:
@@ -169,11 +191,12 @@ def decode_stage(clips: DataFrame) -> DataFrame:
 def assemble_facts(
     decoded: DataFrame,
     clips: DataFrame,
-    fixtures: DataFrame,
+    fixtures_meta: DataFrame,
+    fixtures_pcm: DataFrame,
     force_smj: bool = False,
 ) -> DataFrame:
     # --- phase B: small-column meta join
-    meta = fixtures.select(
+    meta = fixtures_meta.select(
         "clip_id",
         "fx_sha256",
         _nfc_udf()(F.col("expected_transcript")).alias("fx_transcript_nfc"),
@@ -204,12 +227,21 @@ def assemble_facts(
     # outgrow broadcast (lossy-dominated table), use snr_strategy=full_join.
     suspects = f.filter(
         F.col("decode_ok") & F.col("fx_sha256").isNotNull() & ~sha_match
-    ).select("clip_id")
-    payload_side = clips.join(F.broadcast(suspects), "clip_id", "left_semi").select(
-        "clip_id", "bytes", "codec"
+    ).select("clip_id", "part")
+    suspect_parts = suspects.select("part").distinct()
+    suspect_ids = suspects.select("clip_id")
+    # joining the hive partition column against the broadcast suspect-part
+    # set prunes whole directories (dynamic partition pruning) before the
+    # row-level semi-join touches a byte of payload
+    payload_side = (
+        clips.join(F.broadcast(suspect_parts), "part")
+        .join(F.broadcast(suspect_ids), "clip_id", "left_semi")
+        .select("clip_id", "bytes", "codec")
     )
-    ref_side = fixtures.join(F.broadcast(suspects), "clip_id", "left_semi").select(
-        "clip_id", "pcm_ref"
+    ref_side = (
+        fixtures_pcm.join(F.broadcast(suspect_parts), "part")
+        .join(F.broadcast(suspect_ids), "clip_id", "left_semi")
+        .select("clip_id", "pcm_ref")
     )
     snr = (
         payload_side.join(ref_side, "clip_id")

@@ -54,7 +54,8 @@ from codeclone_spark.plans.facts import (
     build_facts,
     decode_stage,
     read_clips,
-    read_fixtures,
+    read_fixtures_meta,
+    read_fixtures_pcm,
 )
 from codeclone_spark.plans.ledger import Ledger, merge_partials
 
@@ -142,12 +143,23 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     validate_data_dir(cfg.data_dir)
     clips = read_clips(spark, cfg.data_dir)
     validate_clips_schema(clips)
-    fixtures = read_fixtures(spark, cfg.data_dir)
+    fixtures_meta = read_fixtures_meta(spark, cfg.data_dir)
+    fixtures_pcm = read_fixtures_pcm(spark, cfg.data_dir)
 
-    # --- stage 2: discovery (partition-column-only scan; metadata cheap)
-    all_parts = sorted(
-        r["part"] for r in clips.select("part").distinct().collect()
-    )
+    # --- stage 2: discovery. For local hive layouts, partition values come
+    # from the directory listing (pure metadata, no Spark job — the Iceberg
+    # analog reads the partition manifest). Fallback: partition-column scan.
+    clips_root = os.path.join(cfg.data_dir, "clips")
+    if os.path.isdir(clips_root):
+        all_parts = sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(clips_root)
+            if d.startswith("part=")
+        )
+    else:
+        all_parts = sorted(
+            r["part"] for r in clips.select("part").distinct().collect()
+        )
     _mark("discovery")
     done = ledger.done_parts() & set(all_parts)
     todo = [p for p in all_parts if p not in done]
@@ -163,8 +175,8 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         wave_clips = clips.filter(F.col("part").isin(wave))
         if cfg.snr_strategy == "full_join":
             facts = build_facts(
-                clips, fixtures, parts=wave, force_smj=cfg.force_smj,
-                snr_strategy="full_join",
+                clips, fixtures_meta, fixtures_pcm, parts=wave,
+                force_smj=cfg.force_smj, snr_strategy="full_join",
             )
             decoded = None
         else:
@@ -176,8 +188,10 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             # (observed: 3 concurrent 31-task stages thrashing 32 cores).
             decoded = decode_stage(wave_clips).persist()
             decoded.count()
+            wave_pcm = fixtures_pcm.filter(F.col("part").isin(wave))
             facts = assemble_facts(
-                decoded, wave_clips, fixtures, force_smj=cfg.force_smj
+                decoded, wave_clips, fixtures_meta, wave_pcm,
+                force_smj=cfg.force_smj,
             )
         facts = facts.persist()
 
@@ -345,19 +359,24 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     # --- stage 6: canonical, deterministically-ordered outputs
     violations_path = os.path.join(cfg.out_dir, "violations")
     verdicts_path = os.path.join(cfg.out_dir, "verdicts")
-    final_viol = all_viol.orderBy("rule_id", "partition", "clip_id", "observed")
-    final_verd = verdicts.orderBy("partition", "rule_id")
-    final_viol.coalesce(1).write.mode("overwrite").parquet(violations_path)
-    final_verd.coalesce(1).write.mode("overwrite").parquet(verdicts_path)
+    # repartition(1)+sortWithinPartitions = deterministic total order without
+    # orderBy's range-sampling pre-job.  Violations/verdicts are tiny report
+    # tables; at cluster scale you'd partition the sink by rule_id instead.
+    final_viol = all_viol.repartition(1).sortWithinPartitions(
+        "rule_id", "partition", "clip_id", "observed"
+    )
+    final_verd = verdicts.repartition(1).sortWithinPartitions("partition", "rule_id")
+    final_viol.write.mode("overwrite").parquet(violations_path)
+    final_verd.write.mode("overwrite").parquet(verdicts_path)
     _mark("final_writes")
 
     final_viol = spark.read.parquet(violations_path)
     final_verd = spark.read.parquet(verdicts_path)
-    n_viol_total = final_viol.count()
     rule_counts = {
         r["rule_id"]: r["n"]
         for r in final_viol.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    n_viol_total = sum(rule_counts.values())
     failed = [
         (r["partition"], r["rule_id"], r["reason"])
         for r in final_verd.filter(~F.col("pass")).orderBy("partition", "rule_id").collect()

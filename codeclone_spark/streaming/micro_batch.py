@@ -22,7 +22,7 @@ from codeclone_spark.schema import CLIPS_SCHEMA
 def stream_validate(
     spark: SparkSession,
     clips_stream_dir: str,
-    fixtures_path: str,
+    fixtures_dir: str,
     out_dir: str,
     checkpoint_dir: str,
     trigger_once: bool = True,
@@ -30,13 +30,9 @@ def stream_validate(
     """Micro-batch validation: each batch runs the same fused decode pass +
     single-scan rule evaluation as the batch engine, appending violation
     parquet.  `trigger once` processes the backlog and stops (test mode)."""
-    fixtures = spark.read.parquet(fixtures_path).select(
-        "clip_id",
-        F.col("pcm_sha256").alias("fx_sha256"),
-        "pcm_ref",
-        "expected_transcript",
-        "expected_dur_ms",
-    )
+    from codeclone_spark.plans.facts import read_fixtures
+
+    fixtures = read_fixtures(spark, fixtures_dir)
 
     stream = (
         spark.readStream.schema(CLIPS_SCHEMA)

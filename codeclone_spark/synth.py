@@ -39,7 +39,7 @@ import pyarrow as pa
 import pyarrow.dataset as pa_ds
 import pyarrow.parquet as pq
 
-SYNTH_VERSION = "1.2"
+SYNTH_VERSION = "2.0"  # 2.0: fixtures split into meta + partitioned PCM blobs
 DEFAULT_SEED = 42
 
 CODECS = ("pcm_s16le", "flac", "mp3", "vorbis")
@@ -238,6 +238,7 @@ def generate(
     fx_pcm: list[bytes] = []
     fx_tr: list[str] = []
     fx_dur: list[int] = []
+    fx_part: list[str] = []
 
     dup_rows: list[tuple] = []
 
@@ -259,6 +260,8 @@ def generate(
         pcm = _synth_pcm(rng, actual_sr, n_samples)
         transcript = _transcript(rng, dur)
 
+        part = f"{codec}-b{_bucket(clip_id, buckets):02d}"
+
         # Fixture carries the canonical truth (pre-plant PCM + transcript).
         sha = pcm_sha256(pcm)
         if i not in in_set["fixture_missing"]:
@@ -267,6 +270,7 @@ def generate(
             fx_pcm.append(pcm.astype("<i2").tobytes())
             fx_tr.append(transcript)
             fx_dur.append(dur)
+            fx_part.append(part)
 
         enc_pcm = pcm
         if i in in_set["low_snr"]:
@@ -287,7 +291,6 @@ def generate(
         elif i in in_set["transcript_mismatch"]:
             out_tr = transcript + " corrupted"
 
-        part = f"{codec}-b{_bucket(clip_id, buckets):02d}"
         row = (clip_id, payload, sr, out_dur, codec, out_tr, part)
         clip_ids.append(row[0])
         payloads.append(row[1])
@@ -319,13 +322,24 @@ def generate(
             "part": pa.array(parts, pa.string()),
         }
     )
-    fixtures_tbl = pa.table(
+    # Fixture storage split (mirrors a metadata-table + blob-table layout):
+    # - fixtures_ref.parquet: small meta columns; phase B of the facts plan
+    #   reads ONLY this (a few MB even at bench scale)
+    # - fixtures_pcm/: canonical PCM blobs, hive-partitioned by the SAME
+    #   `part` key as clips, so the SNR phase prunes to suspect partitions
+    fixtures_meta_tbl = pa.table(
         {
             "clip_id": pa.array(fx_ids, pa.string()),
             "pcm_sha256": pa.array(fx_sha, pa.string()),
-            "pcm_ref": pa.array(fx_pcm, pa.binary()),
             "expected_transcript": pa.array(fx_tr, pa.string()),
             "expected_dur_ms": pa.array(fx_dur, pa.int32()),
+        }
+    )
+    fixtures_pcm_tbl = pa.table(
+        {
+            "clip_id": pa.array(fx_ids, pa.string()),
+            "pcm_ref": pa.array(fx_pcm, pa.binary()),
+            "part": pa.array(fx_part, pa.string()),
         }
     )
 
@@ -341,7 +355,17 @@ def generate(
         basename_template="part-{i}.parquet",
         existing_data_behavior="delete_matching",
     )
-    pq.write_table(fixtures_tbl, os.path.join(out_dir, "fixtures_ref.parquet"))
+    pq.write_table(fixtures_meta_tbl, os.path.join(out_dir, "fixtures_ref.parquet"))
+    pa_ds.write_dataset(
+        fixtures_pcm_tbl,
+        os.path.join(out_dir, "fixtures_pcm"),
+        format="parquet",
+        partitioning=pa_ds.partitioning(
+            pa.schema([("part", pa.string())]), flavor="hive"
+        ),
+        basename_template="part-{i}.parquet",
+        existing_data_behavior="delete_matching",
+    )
 
     manifest = {
         "synth_version": SYNTH_VERSION,

@@ -7,7 +7,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from codeclone_spark.operators.rules import evaluate_row_rules
-from codeclone_spark.plans.facts import build_facts, read_clips, read_fixtures
+from codeclone_spark.plans.facts import (
+    build_facts,
+    read_clips,
+    read_fixtures_meta,
+    read_fixtures_pcm,
+)
 
 
 def _plan(df) -> str:
@@ -37,16 +42,21 @@ def test_column_pruning_uniqueness_scan(spark, tiny_dir):
 
 def test_fixture_join_broadcast_small(spark, tiny_dir):
     clips = read_clips(spark, tiny_dir)
-    fixtures = read_fixtures(spark, tiny_dir)
-    facts = build_facts(clips, fixtures)
+    facts = build_facts(
+        clips, read_fixtures_meta(spark, tiny_dir), read_fixtures_pcm(spark, tiny_dir)
+    )
     plan = _plan(facts)
     assert "BroadcastHashJoin" in plan  # tiny fixture meta fits the threshold
 
 
 def test_fixture_join_smj_forced(spark, tiny_dir):
     clips = read_clips(spark, tiny_dir)
-    fixtures = read_fixtures(spark, tiny_dir)
-    facts = build_facts(clips, fixtures, force_smj=True)
+    facts = build_facts(
+        clips,
+        read_fixtures_meta(spark, tiny_dir),
+        read_fixtures_pcm(spark, tiny_dir),
+        force_smj=True,
+    )
     plan = _plan(facts)
     assert "SortMergeJoin" in plan  # the cluster-scale fixtures path
 
@@ -69,8 +79,12 @@ def test_row_rules_are_single_pass_no_shuffle(spark, tiny_dir):
     an Exchange here would mean a per-rule shuffle creep.  Uses the
     full_join strategy whose facts plan is shuffle-free after the join."""
     clips = read_clips(spark, tiny_dir)
-    fixtures = read_fixtures(spark, tiny_dir)
-    facts = build_facts(clips, fixtures, snr_strategy="full_join")
+    facts = build_facts(
+        clips,
+        read_fixtures_meta(spark, tiny_dir),
+        read_fixtures_pcm(spark, tiny_dir),
+        snr_strategy="full_join",
+    )
     viol = evaluate_row_rules(facts)
     plan = _plan(viol)
     body = plan.split("== Physical Plan ==")[-1]

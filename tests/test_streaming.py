@@ -15,7 +15,7 @@ def test_stream_validate_matches_batch(spark, tiny_dir, tmp_path):
     q = stream_validate(
         spark,
         clips_stream_dir=f"{tiny_dir}/clips",
-        fixtures_path=f"{tiny_dir}/fixtures_ref.parquet",
+        fixtures_dir=tiny_dir,
         out_dir=out,
         checkpoint_dir=ckpt,
         trigger_once=True,
@@ -31,7 +31,7 @@ def test_stream_validate_matches_batch(spark, tiny_dir, tmp_path):
     q2 = stream_validate(
         spark,
         clips_stream_dir=f"{tiny_dir}/clips",
-        fixtures_path=f"{tiny_dir}/fixtures_ref.parquet",
+        fixtures_dir=tiny_dir,
         out_dir=out,
         checkpoint_dir=ckpt,
         trigger_once=True,
