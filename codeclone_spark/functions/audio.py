@@ -42,6 +42,10 @@ FACT_COLUMNS = [
     "rms",
     "peak",
     "clipping_ratio",
+    "silence_ratio",
+    "spectral_flatness",
+    "dominant_freq_hz",
+    "band_energies",
     "snr_db",
     "fixture_status",
     "transcript_match",
@@ -88,6 +92,10 @@ def _facts_for_row(
         "rms": None,
         "peak": None,
         "clipping_ratio": None,
+        "silence_ratio": None,
+        "spectral_flatness": None,
+        "dominant_freq_hz": None,
+        "band_energies": None,
         "snr_db": None,
         "fixture_status": "missing_fixture" if fx_sha is None else "checked",
         "transcript_match": None,
@@ -130,6 +138,7 @@ def _facts_for_row(
         out["rms"] = float(np.sqrt(np.mean(x * x)))
         out["peak"] = float(np.max(np.abs(x)))
         out["clipping_ratio"] = float(np.mean(np.abs(pcm) >= 32767))
+        out.update(_spectral_facts(x, int(sr) if sr else None))
     out["pcm_sha256"] = hashlib.sha256(pcm.astype("<i2").tobytes()).hexdigest()
 
     if pcm_ref is not None:
@@ -164,7 +173,57 @@ DECODE_FACTS = [
     "rms",
     "peak",
     "clipping_ratio",
+    "silence_ratio",
+    "spectral_flatness",
+    "dominant_freq_hz",
+    "band_energies",
 ]
+
+STFT_WIN = 512
+STFT_HOP = 256
+SILENCE_DBFS = -50.0
+N_BANDS = 8
+
+
+def _spectral_facts(x: np.ndarray, sr: int | None) -> dict[str, Any]:
+    """Frame-wise spectral QA features from float PCM in [-1, 1]:
+    silence ratio (frames under -50 dBFS), spectral flatness
+    (geometric/arithmetic mean of the average power spectrum), dominant
+    frequency, and log-band energies (drift histograms / fingerprinting).
+    Pure vectorized numpy — one strided frame matrix, one batched rFFT."""
+    n = x.shape[0]
+    if n < STFT_WIN:
+        return {
+            "silence_ratio": None,
+            "spectral_flatness": None,
+            "dominant_freq_hz": None,
+            "band_energies": None,
+        }
+    n_frames = 1 + (n - STFT_WIN) // STFT_HOP
+    frames = np.lib.stride_tricks.as_strided(
+        x,
+        shape=(n_frames, STFT_WIN),
+        strides=(x.strides[0] * STFT_HOP, x.strides[0]),
+        writeable=False,
+    )
+    frame_rms = np.sqrt(np.mean(frames * frames, axis=1))
+    silence = float(np.mean(frame_rms < 10 ** (SILENCE_DBFS / 20.0)))
+
+    spec = np.abs(np.fft.rfft(frames * np.hanning(STFT_WIN), axis=1)) ** 2
+    avg = spec.mean(axis=0) + 1e-12
+    flatness = float(np.exp(np.mean(np.log(avg))) / np.mean(avg))
+    dom_bin = int(np.argmax(avg[1:]) + 1)
+    dom_hz = float(dom_bin * (sr or 0) / STFT_WIN) if sr else None
+
+    edges = np.linspace(0, avg.shape[0], N_BANDS + 1, dtype=int)
+    bands = [float(np.log10(avg[edges[i]: edges[i + 1]].sum() + 1e-12))
+             for i in range(N_BANDS)]
+    return {
+        "silence_ratio": round(silence, 6),
+        "spectral_flatness": round(flatness, 6),
+        "dominant_freq_hz": dom_hz,
+        "band_energies": bands,
+    }
 
 
 def _decode_row(payload, codec, sr_hz) -> dict[str, Any]:
@@ -177,6 +236,10 @@ def _decode_row(payload, codec, sr_hz) -> dict[str, Any]:
         "rms": None,
         "peak": None,
         "clipping_ratio": None,
+        "silence_ratio": None,
+        "spectral_flatness": None,
+        "dominant_freq_hz": None,
+        "band_energies": None,
     }
     if payload is None:
         out["error_kind"] = "null_bytes"
@@ -200,6 +263,7 @@ def _decode_row(payload, codec, sr_hz) -> dict[str, Any]:
         out["rms"] = float(np.sqrt(np.mean(x * x)))
         out["peak"] = float(np.max(np.abs(x)))
         out["clipping_ratio"] = float(np.mean(np.abs(pcm) >= 32767))
+        out.update(_spectral_facts(x, int(sr) if sr else None))
     out["pcm_sha256"] = hashlib.sha256(pcm.astype("<i2").tobytes()).hexdigest()
     return out
 

@@ -92,6 +92,24 @@ def row_rules() -> list[RowRule]:
             & (F.length("transcript") > 0),
         ),
         RowRule(
+            "audio:silence",
+            F.col("silence_ratio") > 0.98,
+            F.concat_ws(
+                "", F.lit("silence_ratio="), F.round("silence_ratio", 4).cast("string")
+            ),
+            "audible content (silence_ratio <= 0.98)",
+            applicable=F.col("silence_ratio").isNotNull(),
+        ),
+        RowRule(
+            "audio:clipping",
+            F.col("clipping_ratio") > 0.02,
+            F.concat_ws(
+                "", F.lit("clipping_ratio="), F.round("clipping_ratio", 4).cast("string")
+            ),
+            "clipping_ratio <= 0.02",
+            applicable=F.col("clipping_ratio").isNotNull(),
+        ),
+        RowRule(
             "ref:fixture_missing",
             F.col("fixture_status") == "missing_fixture",
             F.lit("missing_fixture"),
@@ -140,6 +158,8 @@ ROW_RULE_IDS = [
     "audio:len_consistency",
     "audio:snr",
     "audio:transcript_eq",
+    "audio:silence",
+    "audio:clipping",
     "ref:fixture_missing",
     "stats:null:dur_ms",
     "stats:null:transcript",

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     IntegerType,
@@ -54,6 +55,10 @@ FACTS_OUT_SCHEMA = StructType(
         StructField("rms", DoubleType()),
         StructField("peak", DoubleType()),
         StructField("clipping_ratio", DoubleType()),
+        StructField("silence_ratio", DoubleType()),
+        StructField("spectral_flatness", DoubleType()),
+        StructField("dominant_freq_hz", DoubleType()),
+        StructField("band_energies", ArrayType(DoubleType())),
         StructField("snr_db", DoubleType()),
         StructField("fixture_status", StringType()),
         StructField("transcript_match", BooleanType()),
@@ -109,6 +114,10 @@ DECODE_OUT_SCHEMA = StructType(
         StructField("rms", DoubleType()),
         StructField("peak", DoubleType()),
         StructField("clipping_ratio", DoubleType()),
+        StructField("silence_ratio", DoubleType()),
+        StructField("spectral_flatness", DoubleType()),
+        StructField("dominant_freq_hz", DoubleType()),
+        StructField("band_energies", ArrayType(DoubleType())),
     ]
 )
 
@@ -267,6 +276,10 @@ def assemble_facts(
         "rms",
         "peak",
         "clipping_ratio",
+        "silence_ratio",
+        "spectral_flatness",
+        "dominant_freq_hz",
+        "band_energies",
         F.when(F.col("decode_ok") & sha_match, F.lit(LOSSLESS_SNR_DB))
         .otherwise(F.col("snr_db_joined"))
         .alias("snr_db"),

@@ -29,6 +29,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from codeclone_spark import (
     EXIT_CONTRACT_ERROR,
@@ -72,6 +73,11 @@ class RunConfig:
     wave_size: int | None = None  # None -> single wave (max parallelism)
     force_smj: bool = False
     snr_strategy: str = "two_phase"  # or "full_join" (lossy-dominated tables)
+    # Per-(rule, partition) violation exemplar cap: a pathological table
+    # (e.g. an all-null column at 10^12 rows) must not materialize 10^12
+    # violation rows.  Excess rows are counted, not silently dropped
+    # (reference reports suppressed_* counts, SURVEY §2.8).
+    exemplar_cap: int = 10_000
     gates: GateConfig = field(default_factory=GateConfig)
     created_at: str = bl.DEFAULT_CREATED_AT
 
@@ -195,7 +201,21 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             )
         facts = facts.persist()
 
+        wave_t0 = time.monotonic()
         viol = evaluate_row_rules(facts)
+        if cfg.exemplar_cap:
+            # deterministic top-k exemplars per (rule, partition); any group
+            # that hits the cap has far exceeded every gate budget already,
+            # so verdicts are unaffected — this bounds OUTPUT size, like the
+            # reference's max_blocks/max_segments caps (SURVEY §2.8)
+            w = Window.partitionBy("rule_id", "partition").orderBy(
+                "clip_id", "observed"
+            )
+            viol = (
+                viol.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= cfg.exemplar_cap)
+                .drop("_rk")
+            )
         (
             viol.repartition(1 if len(wave) <= 8 else 8)
             .write.mode("overwrite")
@@ -228,7 +248,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
                 .collect()
             )
         }
-        elapsed_ms = 0  # filled per-wave below
+        wave_elapsed_ms = int((time.monotonic() - wave_t0) * 1000)
         for row in aggs:
             d = row.asDict()
             part = d.pop("part")
@@ -251,6 +271,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
                     },
                     "violations": int(nviol),
                     "digest": dig,
+                    "elapsed_ms": wave_elapsed_ms,  # wave wall (shared)
                 },
             )
         facts.unpersist()

@@ -1,0 +1,61 @@
+"""Iceberg source adapter.
+
+The production target is an Iceberg table (BASELINE.json input_hint); this
+sandbox has no Iceberg runtime jar and no network to fetch one, so the
+engine runs against hive-partitioned parquet whose `part` column stands in
+for Iceberg partitions (FIXTURES.md §1).  This adapter keeps the engine
+source-agnostic: when an Iceberg catalog is configured the same code paths
+get real Iceberg scans, snapshot pruning, and partition metadata.
+
+Mapping of engine mechanisms onto Iceberg:
+- discovery (`plans/runner.py`): directory listing -> `table.partitions`
+  metadata table (`SELECT partition FROM db.tbl.partitions`)
+- resume pruning (`part NOT IN done`): identical partition-column filter;
+  Iceberg prunes manifests before planning a single file split
+- checkpoint ledger keyed by (partition): add `snapshot_id` to the entry so
+  a resume validates against the same table snapshot (time travel:
+  `spark.read.option("snapshot-id", ...)`)
+- violations/verdicts sinks: `df.writeTo(tbl).append()` instead of parquet
+- bucketed clip_id layout: `ALTER TABLE ... WRITE ORDERED BY` /
+  `bucket(N, clip_id)` partition transform makes the fixtures meta join and
+  exact-dedup groupBy co-located (no shuffle at all)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is on the classpath + configured."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, identifier: str) -> DataFrame:
+    """Load `catalog.db.table` (Iceberg) or a path (parquet fallback)."""
+    if "/" not in identifier and iceberg_available(spark):
+        return spark.read.format("iceberg").load(identifier)
+    return spark.read.parquet(identifier)
+
+
+def list_partitions(spark: SparkSession, identifier: str) -> list[str]:
+    """Partition values via Iceberg metadata table (no data scan)."""
+    if iceberg_available(spark):
+        rows = spark.sql(f"SELECT partition FROM {identifier}.partitions").collect()
+        return sorted(str(r["partition"]) for r in rows)
+    raise ValueError("not an Iceberg session; use directory discovery")
+
+
+def current_snapshot_id(spark: SparkSession, identifier: str) -> int | None:
+    if not iceberg_available(spark):
+        return None
+    rows = spark.sql(
+        f"SELECT snapshot_id FROM {identifier}.snapshots "
+        "ORDER BY committed_at DESC LIMIT 1"
+    ).collect()
+    return int(rows[0]["snapshot_id"]) if rows else None

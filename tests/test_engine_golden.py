@@ -78,10 +78,13 @@ def test_golden_snapshot(spark, tiny_run):
 
 
 def test_verdict_grid_dense(spark, tiny_run, tiny_manifest):
+    from codeclone_spark.operators.rules import ROW_RULE_IDS, TABLE_RULE_IDS
+
     verd = spark.read.parquet(tiny_run.verdicts_path)
     n_parts = len(tiny_manifest["partitions"])
-    # 11 per-partition rules x partitions + 3 table-level drift rows
-    assert verd.count() == n_parts * 11 + 3
+    n_rules = len(ROW_RULE_IDS) + len(TABLE_RULE_IDS)
+    # per-partition rule grid + 3 table-level drift rows
+    assert verd.count() == n_parts * n_rules + 3
     fails = verd.filter(~F.col("pass"))
     assert fails.count() == len(tiny_run.report["findings"]["failed_gates"])
     novel = {r["novelty"] for r in verd.collect()}

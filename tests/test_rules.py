@@ -34,6 +34,10 @@ def _facts(spark, rows):
         "rms": 0.2,
         "peak": 0.5,
         "clipping_ratio": 0.0,
+        "silence_ratio": 0.05,
+        "spectral_flatness": 0.2,
+        "dominant_freq_hz": 440.0,
+        "band_energies": [0.0] * 8,
         "snr_db": 999.0,
         "fixture_status": "checked",
         "transcript_match": True,
@@ -148,7 +152,9 @@ def test_verdicts_gates_and_novelty(spark):
     v = build_verdicts(counts, part_rows, GateConfig()).collect()
     by = {(r["partition"], r["rule_id"]): r for r in v}
     # dense grid: every partition x rule pair exists
-    assert len(v) == 2 * 11
+    from codeclone_spark.operators.rules import ROW_RULE_IDS, TABLE_RULE_IDS
+
+    assert len(v) == 2 * (len(ROW_RULE_IDS) + len(TABLE_RULE_IDS))
     assert not by[("p1", "audio:snr")]["pass"]
     assert by[("p1", "audio:snr")]["novelty"] == "new"
     # all violations accepted by baseline -> pass, known
