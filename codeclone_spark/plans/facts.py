@@ -197,14 +197,8 @@ def decode_stage(clips: DataFrame) -> DataFrame:
     return clips.mapInPandas(decode_map_in_pandas, schema=DECODE_OUT_SCHEMA)
 
 
-def assemble_facts(
-    decoded: DataFrame,
-    clips: DataFrame,
-    fixtures_meta: DataFrame,
-    fixtures_pcm: DataFrame,
-    force_smj: bool = False,
-) -> DataFrame:
-    # --- phase B: small-column meta join
+def join_meta(decoded: DataFrame, fixtures_meta: DataFrame, force_smj: bool = False) -> DataFrame:
+    """Phase B: join the small fixture meta columns onto decoded facts."""
     meta = fixtures_meta.select(
         "clip_id",
         "fx_sha256",
@@ -213,7 +207,33 @@ def assemble_facts(
         "expected_dur_ms",
     )
     fx_meta = meta.hint("merge") if force_smj else meta
-    f = decoded.join(fx_meta, "clip_id", "left")
+    return decoded.join(fx_meta, "clip_id", "left")
+
+
+def suspect_filter(f: DataFrame):
+    """Rows whose decoded sha mismatches the fixture sha — the only rows
+    that need the expensive PCM comparison."""
+    return f.filter(
+        F.col("decode_ok")
+        & F.col("fx_sha256").isNotNull()
+        & (F.col("pcm_sha256") != F.col("fx_sha256"))
+    )
+
+
+def assemble_facts(
+    decoded: DataFrame,
+    clips: DataFrame,
+    fixtures_meta: DataFrame,
+    fixtures_pcm: DataFrame,
+    force_smj: bool = False,
+    suspect_parts: list[str] | None = None,
+) -> DataFrame:
+    """Phases B+C.  *suspect_parts*: when the caller has materialized the
+    suspect partition list (runner does, from the cached decode stage), the
+    phase-C re-scans prune statically to those directories — guaranteed,
+    no reliance on dynamic partition pruning."""
+    # --- phase B: small-column meta join
+    f = join_meta(decoded, fixtures_meta, force_smj)
 
     sha_match = F.col("pcm_sha256") == F.col("fx_sha256")
     fixture_status = (
@@ -234,24 +254,25 @@ def assemble_facts(
     # strategy exists to avoid (confirmed via stage metrics: SMJ planned
     # ~700 core-seconds of payload shuffle at 20k rows).  If suspects ever
     # outgrow broadcast (lossy-dominated table), use snr_strategy=full_join.
-    suspects = f.filter(
-        F.col("decode_ok") & F.col("fx_sha256").isNotNull() & ~sha_match
-    ).select("clip_id", "part")
-    suspect_parts = suspects.select("part").distinct()
+    suspects = suspect_filter(f).select("clip_id", "part")
     suspect_ids = suspects.select("clip_id")
-    # joining the hive partition column against the broadcast suspect-part
-    # set prunes whole directories (dynamic partition pruning) before the
-    # row-level semi-join touches a byte of payload
-    payload_side = (
-        clips.join(F.broadcast(suspect_parts), "part")
-        .join(F.broadcast(suspect_ids), "clip_id", "left_semi")
-        .select("clip_id", "bytes", "codec")
-    )
-    ref_side = (
-        fixtures_pcm.join(F.broadcast(suspect_parts), "part")
-        .join(F.broadcast(suspect_ids), "clip_id", "left_semi")
-        .select("clip_id", "pcm_ref")
-    )
+    if suspect_parts is not None:
+        # static literal pruning: only the suspect directories are listed,
+        # let alone read
+        payload_base = clips.filter(F.col("part").isin(suspect_parts))
+        ref_base = fixtures_pcm.filter(F.col("part").isin(suspect_parts))
+    else:
+        # lazy fallback: broadcast the suspect-part set; joining it against
+        # the hive partition column prunes directories dynamically
+        sp = suspects.select("part").distinct()
+        payload_base = clips.join(F.broadcast(sp), "part")
+        ref_base = fixtures_pcm.join(F.broadcast(sp), "part")
+    payload_side = payload_base.join(
+        F.broadcast(suspect_ids), "clip_id", "left_semi"
+    ).select("clip_id", "bytes", "codec")
+    ref_side = ref_base.join(
+        F.broadcast(suspect_ids), "clip_id", "left_semi"
+    ).select("clip_id", "pcm_ref")
     snr = (
         payload_side.join(ref_side, "clip_id")
         .mapInPandas(snr_map_in_pandas, schema=SNR_OUT_SCHEMA)

@@ -54,9 +54,11 @@ from codeclone_spark.plans.facts import (
     assemble_facts,
     build_facts,
     decode_stage,
+    join_meta,
     read_clips,
     read_fixtures_meta,
     read_fixtures_pcm,
+    suspect_filter,
 )
 from codeclone_spark.plans.ledger import Ledger, merge_partials
 
@@ -195,9 +197,20 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             decoded = decode_stage(wave_clips).persist()
             decoded.count()
             wave_pcm = fixtures_pcm.filter(F.col("part").isin(wave))
+            # materialize the suspect-partition list from the cached decode
+            # (cheap driver action) -> phase C prunes directories statically
+            sus_parts = sorted(
+                r["part"]
+                for r in suspect_filter(
+                    join_meta(decoded, fixtures_meta, cfg.force_smj)
+                )
+                .select("part")
+                .distinct()
+                .collect()
+            )
             facts = assemble_facts(
                 decoded, wave_clips, fixtures_meta, wave_pcm,
-                force_smj=cfg.force_smj,
+                force_smj=cfg.force_smj, suspect_parts=sus_parts,
             )
         facts = facts.persist()
 
