@@ -57,6 +57,9 @@ FACTS_SCHEMA = StructType(
         StructField("rms", DoubleType(), True),
         StructField("peak", DoubleType(), True),
         StructField("clipping_ratio", DoubleType(), True),
+        StructField("silence_ratio", DoubleType(), True),
+        StructField("spectral_flatness", DoubleType(), True),
+        StructField("dominant_freq_hz", DoubleType(), True),
         StructField("snr_db", DoubleType(), True),
         StructField("fixture_status", StringType(), False),
         StructField("transcript_match", BooleanType(), True),

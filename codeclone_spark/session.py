@@ -49,6 +49,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # finer input splits: decode tasks pack onto cores without a
+        # one-straggler tail wave (default 128MB -> few huge tasks locally)
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         # Local testing QoL; harmless on cluster (overridden by submit conf).
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
