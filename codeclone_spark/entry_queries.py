@@ -319,19 +319,19 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 
 def events_null_rate(spark: SparkSession, sf: str) -> DataFrame:
     """Null-rate / completeness rule (permille arithmetic like the
-    reference's coverage_adoption family, registry.py:590-645)."""
+    reference's coverage_adoption family, registry.py:590-645).
+
+    The rate is emitted as an exact integer ppm (floor of nulls*1e6/rows on
+    BIGINT arithmetic) — no float ever touches the contract, so the driver's
+    cross-engine value hash can't diverge on float canonicalization."""
     e = _t(spark, sf, "events")
     return (
         e.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
-            F.round(
-                F.sum(F.col("props").isNull().cast("long")) * 1000.0
-                / F.count(F.lit(1)),
-                3,
-            ).alias("null_permille"),
         )
+        .withColumn("null_ppm", F.expr("(null_props * 1000000L) div rows"))
         .orderBy("event_type")
     )
 
@@ -339,8 +339,8 @@ def events_null_rate(spark: SparkSession, sf: str) -> DataFrame:
 EVENTS_NULL_SQL = """
 SELECT event_type, count(*) AS rows,
        sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
-       round(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) * 1000.0 / count(*), 3)
-         AS null_permille
+       CAST((sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS null_ppm
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -853,6 +853,9 @@ def _srp_sql(n_planes: int = 8, dim: int = 64) -> str:
 
 # ================================================== audio clips (synth) ----
 def clips_stats_by_part(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean is emitted as exact integer micro-ms (floor of sum*1e4/count on
+    BIGINT arithmetic): float-free contract, same rationale as
+    events_null_rate's ppm column."""
     c = _clips(spark, sf)
     return (
         c.groupBy("part")
@@ -861,8 +864,13 @@ def clips_stats_by_part(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("dur_ms").isNull().cast("long")).alias("dur_null"),
             F.min("dur_ms").alias("dur_min"),
             F.max("dur_ms").alias("dur_max"),
-            F.round(F.avg("dur_ms"), 4).alias("dur_mean"),
+            F.sum(F.col("dur_ms").cast("long")).alias("_dur_sum"),
+            F.count("dur_ms").alias("_dur_n"),
         )
+        .withColumn(
+            "dur_mean_e4", F.expr("(_dur_sum * 10000L) div greatest(_dur_n, 1L)")
+        )
+        .drop("_dur_sum", "_dur_n")
         .orderBy("part")
     )
 
@@ -871,7 +879,8 @@ CLIPS_STATS_SQL = f"""
 SELECT part, count(*) AS rows,
        sum(CASE WHEN dur_ms IS NULL THEN 1 ELSE 0 END) AS dur_null,
        min(dur_ms) AS dur_min, max(dur_ms) AS dur_max,
-       round(avg(dur_ms), 4) AS dur_mean
+       CAST((sum(CAST(dur_ms AS BIGINT)) * 10000)
+            // greatest(count(dur_ms), 1) AS BIGINT) AS dur_mean_e4
 FROM {_CLIPS_SQL} GROUP BY part ORDER BY part
 """
 
