@@ -287,10 +287,21 @@ class GateConfig:
     psi_max: float = 0.25
     ks_max: float = 0.25
 
-    def budget(self, rule_id: str) -> tuple[int, float]:
+    def budget(self, rule_id: str) -> tuple[int | None, float | None]:
+        """Configured budgets for *rule_id*; ``None`` = constraint unset.
+
+        A rule configured in neither dict gets the strict-CI default: a
+        zero count budget (any new violation fails).  A rule configured in
+        only one dict is constrained by that budget alone — a
+        max_count-only config must not be silently tightened by an
+        implicit 0-permille cap (or vice versa)."""
+        has_n = rule_id in self.max_count
+        has_pm = rule_id in self.max_permille
+        if not has_n and not has_pm:
+            return (0, None)
         return (
-            int(self.max_count.get(rule_id, 0)),
-            float(self.max_permille.get(rule_id, 0.0)),
+            int(self.max_count[rule_id]) if has_n else None,
+            float(self.max_permille[rule_id]) if has_pm else None,
         )
 
 
@@ -318,20 +329,43 @@ def build_verdicts(
         {"n_viol": 0, "n_new": 0}
     )
 
+    # -1 encodes "constraint unset" in the broadcast literal maps (budgets
+    # are non-negative by construction, so the sentinel can't collide).
     budget_count = F.create_map(
-        *[x for r in all_rules for x in (F.lit(r), F.lit(gates.budget(r)[0]))]
+        *[
+            x
+            for r in all_rules
+            for x in (
+                F.lit(r),
+                F.lit(gates.budget(r)[0] if gates.budget(r)[0] is not None else -1),
+            )
+        ]
     )
     budget_pm = F.create_map(
-        *[x for r in all_rules for x in (F.lit(r), F.lit(gates.budget(r)[1]))]
+        *[
+            x
+            for r in all_rules
+            for x in (
+                F.lit(r),
+                F.lit(gates.budget(r)[1] if gates.budget(r)[1] is not None else -1.0),
+            )
+        ]
     )
     max_n = budget_count[F.col("rule_id")]
     max_pm = budget_pm[F.col("rule_id")]
-    permille = F.round(F.col("n_viol") * 1000.0 / F.greatest(F.col("rows"), F.lit(1)), 3)
     # Accepted (baseline-known) violations don't trip the gate: only NEW ones
     # count against the budget (reference diff-gating: fail_on_new).
     eff = F.col("n_new")
-    eff_pm = F.round(eff * 1000.0 / F.greatest(F.col("rows"), F.lit(1)), 3)
-    passed = (eff <= max_n) | (eff_pm <= max_pm)
+    # Compare the UNROUNDED rate: rounding to 3 decimals first would let up
+    # to 0.0005 permille (e.g. 4 violations in a 10^7-row partition) slip
+    # under a zero-tolerance budget.  Round only for the reason string.
+    eff_pm_raw = eff * 1000.0 / F.greatest(F.col("rows"), F.lit(1))
+    eff_pm = F.round(eff_pm_raw, 3)
+    # A rule fails when EITHER configured budget is exceeded (reference
+    # report/gates/evaluator.py:500-521) -> pass requires BOTH to hold.
+    count_ok = (max_n < 0) | (eff <= max_n)
+    pm_ok = (max_pm < 0.0) | (eff_pm_raw <= max_pm)
+    passed = count_ok & pm_ok
 
     reason = F.when(
         passed & (F.col("n_viol") == 0),
@@ -346,12 +380,12 @@ def build_verdicts(
         ),
     ).otherwise(
         F.format_string(
-            "%s: %d new violation(s) (%s permille) exceed budget (max_count=%d, max_permille=%s)",
+            "%s: %d new violation(s) (%s permille) exceed budget (max_count=%s, max_permille=%s)",
             F.col("rule_id"),
             eff,
             eff_pm.cast("string"),
-            max_n,
-            max_pm.cast("string"),
+            F.when(max_n < 0, F.lit("unset")).otherwise(max_n.cast("string")),
+            F.when(max_pm < 0.0, F.lit("unset")).otherwise(max_pm.cast("string")),
         )
     )
     novelty = F.when(F.col("n_new") > 0, F.lit("new")).otherwise(F.lit("known"))

@@ -172,3 +172,59 @@ def test_gate_budget(spark):
     g = GateConfig(max_count={"audio:snr": 5})
     v = {r["rule_id"]: r for r in build_verdicts(counts, part_rows, g).collect()}
     assert v["audio:snr"]["pass"]
+
+
+def test_gate_zero_budget_huge_partition(spark):
+    """1 new violation in a 10M-row partition must FAIL a zero-tolerance
+    gate: the permille rounds to 0.000 but the count budget (0) is exceeded,
+    and pass requires BOTH budgets to hold (reference evaluator semantics:
+    fail when EITHER is exceeded)."""
+    counts = spark.createDataFrame(
+        [("p1", "audio:snr", 1, 1)], ["partition", "rule_id", "n_viol", "n_new"]
+    )
+    part_rows = spark.createDataFrame([("p1", 10_000_000)], ["part", "rows"])
+    v = {r["rule_id"]: r for r in build_verdicts(counts, part_rows, GateConfig()).collect()}
+    assert not v["audio:snr"]["pass"]
+    assert "exceed budget" in v["audio:snr"]["reason"]
+
+
+def test_gate_unrounded_permille(spark):
+    """A configured permille budget compares against the UNROUNDED rate:
+    4 violations / 10M rows = 0.0004 permille > max_permille=0.0003 must
+    fail even though both round to 0.000."""
+    counts = spark.createDataFrame(
+        [("p1", "audio:snr", 4, 4)], ["partition", "rule_id", "n_viol", "n_new"]
+    )
+    part_rows = spark.createDataFrame([("p1", 10_000_000)], ["part", "rows"])
+    g = GateConfig(
+        max_count={"audio:snr": 100}, max_permille={"audio:snr": 0.0003}
+    )
+    v = {r["rule_id"]: r for r in build_verdicts(counts, part_rows, g).collect()}
+    assert not v["audio:snr"]["pass"]
+
+
+def test_gate_both_budgets_must_hold(spark):
+    """Count within budget but permille exceeded -> fail (AND, not OR)."""
+    counts = spark.createDataFrame(
+        [("p1", "audio:snr", 3, 3)], ["partition", "rule_id", "n_viol", "n_new"]
+    )
+    part_rows = spark.createDataFrame([("p1", 100)], ["part", "rows"])
+    g = GateConfig(max_count={"audio:snr": 5}, max_permille={"audio:snr": 10.0})
+    v = {r["rule_id"]: r for r in build_verdicts(counts, part_rows, g).collect()}
+    assert not v["audio:snr"]["pass"]  # 30 permille > 10
+    g2 = GateConfig(max_count={"audio:snr": 5}, max_permille={"audio:snr": 50.0})
+    v2 = {r["rule_id"]: r for r in build_verdicts(counts, part_rows, g2).collect()}
+    assert v2["audio:snr"]["pass"]
+
+
+def test_gate_count_only_config_ignores_permille(spark):
+    """A max_count-only config must not be tightened by an implicit
+    0-permille cap: 3 violations in 100 rows (30 permille) passes when
+    max_count=5 and no permille budget is configured."""
+    counts = spark.createDataFrame(
+        [("p1", "audio:snr", 3, 3)], ["partition", "rule_id", "n_viol", "n_new"]
+    )
+    part_rows = spark.createDataFrame([("p1", 100)], ["part", "rows"])
+    g = GateConfig(max_count={"audio:snr": 5})
+    v = {r["rule_id"]: r for r in build_verdicts(counts, part_rows, g).collect()}
+    assert v["audio:snr"]["pass"]
