@@ -31,7 +31,7 @@ ENGINE_VERSION = "0.1.0"
 # Versioned persisted-artifact contracts (reference: contracts/__init__.py)
 BASELINE_SCHEMA_VERSION = "1.0"
 REPORT_SCHEMA_VERSION = "1.0"
-LEDGER_SCHEMA_VERSION = "1.0"
+LEDGER_SCHEMA_VERSION = "1.1"
 
 # Exit codes (reference: contracts/__init__.py:112-116)
 EXIT_OK = 0

@@ -77,8 +77,11 @@ class RunConfig:
     snr_strategy: str = "two_phase"  # or "full_join" (lossy-dominated tables)
     # Per-(rule, partition) violation exemplar cap: a pathological table
     # (e.g. an all-null column at 10^12 rows) must not materialize 10^12
-    # violation rows.  Excess rows are counted, not silently dropped
-    # (reference reports suppressed_* counts, SURVEY §2.8).
+    # violation rows.  Gate counts/verdicts/report totals use TRUE pre-cap
+    # tallies (ledger rule_counts); excess exemplar rows are reported as
+    # findings.suppressed_exemplars (reference suppressed_* counts, SURVEY
+    # §2.8).  --update-baseline bypasses the cap so accepted keys stay
+    # complete.
     exemplar_cap: int = 10_000
     gates: GateConfig = field(default_factory=GateConfig)
     created_at: str = bl.DEFAULT_CREATED_AT
@@ -176,6 +179,13 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     waves_dir = os.path.join(cfg.out_dir, "waves")
     sr_cols = [f"sr_{v}" for v in ALLOWED_SR]
 
+    # Broadcast accepted-violation keys once; waves use it to split true
+    # violation counts into known/new BEFORE the exemplar cap, so gate
+    # arithmetic never sees truncated counts (stage 5b reuses it).
+    acc_df = spark.createDataFrame(
+        [(k,) for k in accepted] or [("\x00never",)], ["vkey"]
+    ).withColumn("accepted", F.lit(True))
+
     # --- stages 3-4 per wave
     for wi, wave in enumerate(_chunks(todo, cfg.wave_size)):
         wave_id = hashlib.sha1("|".join(wave).encode()).hexdigest()[:12]
@@ -216,55 +226,90 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
 
         wave_t0 = time.monotonic()
         viol = evaluate_row_rules(facts)
-        if cfg.exemplar_cap:
-            # deterministic top-k exemplars per (rule, partition); any group
-            # that hits the cap has far exceeded every gate budget already,
-            # so verdicts are unaffected — this bounds OUTPUT size, like the
-            # reference's max_blocks/max_segments caps (SURVEY §2.8)
-            w = Window.partitionBy("rule_id", "partition").orderBy(
-                "clip_id", "observed"
+        # Exemplar cap = OUTPUT bound only (reference max_blocks/max_segments
+        # caps, SURVEY §2.8).  True per-(rule, partition) counts — including
+        # the baseline-accepted split — are aggregated from the UNCAPPED
+        # frame in the same pass as the exemplar digest, so gate verdicts,
+        # report totals and ledger metrics never see truncated numbers.
+        # --update-baseline bypasses the cap: accepted keys must be complete.
+        cap = None if cfg.update_baseline else cfg.exemplar_cap
+        viol = viol.withColumn("vkey", violation_key(viol)).join(
+            F.broadcast(acc_df), "vkey", "left"
+        )
+        w = Window.partitionBy("rule_id", "partition").orderBy(
+            "clip_id", "observed"
+        )
+        viol = viol.withColumn("_rk", F.row_number().over(w))
+        keep = F.lit(True) if cap is None else (F.col("_rk") <= cap)
+        viol = viol.withColumn("_keep", keep).persist()
+        # ONE aggregation: true counts + new-vs-known split + suppressed +
+        # per-(partition, rule) exemplar digest (digest input bounded by cap).
+        rule_stats = (
+            viol.groupBy("partition", "rule_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_viol"),
+                F.sum(
+                    F.when(F.col("accepted").isNull(), 1).otherwise(0)
+                ).alias("n_new"),
+                F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+                F.sha2(
+                    F.concat_ws(
+                        ";",
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_keep"),
+                                    F.concat_ws(
+                                        "|", "rule_id", "clip_id", "observed"
+                                    ),
+                                )
+                            )
+                        ),
+                    ),
+                    256,
+                ).alias("digest"),
             )
-            viol = (
-                viol.withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") <= cfg.exemplar_cap)
-                .drop("_rk")
-            )
+            .collect()
+        )
         (
-            viol.repartition(1 if len(wave) <= 8 else 8)
+            viol.filter(F.col("_keep"))
+            .drop("vkey", "accepted", "_rk", "_keep")
+            .repartition(1 if len(wave) <= 8 else 8)
             .write.mode("overwrite")
             .parquet(os.path.join(wave_path, "violations"))
         )
+        viol.unpersist()
         _mark("wave_facts_and_row_rules")
 
         aggs = partition_aggregates(facts).collect()
         _mark("wave_partition_aggs")
-        # per-partition violation digests for the ledger (stable identity)
-        vdig = {
-            r["partition"]: (r["digest"], r["n"])
-            for r in (
-                spark.read.parquet(os.path.join(wave_path, "violations"))
-                .groupBy("partition")
-                .agg(
-                    F.sha2(
-                        F.concat_ws(
-                            ";",
-                            F.sort_array(
-                                F.collect_list(
-                                    F.concat_ws("|", "rule_id", "clip_id", "observed")
-                                )
-                            ),
-                        ),
-                        256,
-                    ).alias("digest"),
-                    F.count(F.lit(1)).alias("n"),
-                )
-                .collect()
+        # fold per-rule stats into per-partition ledger fields (driver-side,
+        # wave-sized): true counts, suppressed exemplars, stable digest
+        part_rules: dict[str, dict[str, list[int]]] = {}
+        part_supp: dict[str, int] = {}
+        part_dig_parts: dict[str, list[str]] = {}
+        for r in rule_stats:
+            p = r["partition"]
+            part_rules.setdefault(p, {})[r["rule_id"]] = [
+                int(r["n_viol"]), int(r["n_new"])
+            ]
+            part_supp[p] = part_supp.get(p, 0) + int(r["n_viol"] - r["n_kept"])
+            part_dig_parts.setdefault(p, []).append(
+                f"{r['rule_id']}:{r['digest']}"
             )
+        vdig = {
+            p: (
+                hashlib.sha256(";".join(sorted(parts)).encode()).hexdigest(),
+                sum(v[0] for v in part_rules[p].values()),
+            )
+            for p, parts in part_dig_parts.items()
         }
         wave_elapsed_ms = int((time.monotonic() - wave_t0) * 1000)
+        seen_parts = set()
         for row in aggs:
             d = row.asDict()
             part = d.pop("part")
+            seen_parts.add(part)
             dig, nviol = vdig.get(part, ("0" * 64, 0))
             ledger.record(
                 part,
@@ -283,10 +328,38 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
                         str(v): int(d[f"sr_{v}"]) for v in ALLOWED_SR
                     },
                     "violations": int(nviol),
+                    "suppressed": int(part_supp.get(part, 0)),
+                    "rule_counts": part_rules.get(part, {}),
                     "digest": dig,
                     "elapsed_ms": wave_elapsed_ms,  # wave wall (shared)
                 },
             )
+        # A listed part= directory with ZERO rows produces no aggregate row;
+        # it still needs a ledger entry or every resume would KeyError on it
+        # and the run could never converge.
+        for part in wave:
+            if part not in seen_parts:
+                ledger.record(
+                    part,
+                    {
+                        "wave": f"wave-{wave_id}",
+                        "rows": 0,
+                        "dur_null": 0,
+                        "transcript_null": 0,
+                        "undecodable": 0,
+                        "dur_min": None,
+                        "dur_max": None,
+                        "dur_mean": None,
+                        "approx_ndv": 0,
+                        "dur_hist": [0] * (len(DUR_BIN_EDGES) - 1),
+                        "sr_counts": {str(v): 0 for v in ALLOWED_SR},
+                        "violations": 0,
+                        "suppressed": 0,
+                        "rule_counts": {},
+                        "digest": "0" * 64,
+                        "elapsed_ms": wave_elapsed_ms,
+                    },
+                )
         facts.unpersist()
         if decoded is not None:
             decoded.unpersist()
@@ -339,21 +412,57 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     for wdf in wave_dfs:
         all_viol = all_viol.unionByName(wdf)
 
-    # --- stage 5b: baseline accepted-set diff (broadcast anti-join — the
-    # reference's diff_clone_groups set difference, baseline/diff.py:23-32)
-    acc_df = spark.createDataFrame(
-        [(k,) for k in accepted] or [("\x00never",)], ["vkey"]
-    ).withColumn("accepted", F.lit(True))
+    # --- stage 5b: baseline accepted-set diff.  Row-rule counts come from
+    # the ledger's TRUE per-(partition, rule) tallies (aggregated before the
+    # exemplar cap in the wave pass); only the table-scope uniqueness rule —
+    # which never passes through a wave — is diffed here (broadcast
+    # anti-join, the reference's diff_clone_groups set difference,
+    # baseline/diff.py:23-32).
     keyed = all_viol.withColumn("vkey", violation_key(all_viol))
-    marked = keyed.join(F.broadcast(acc_df), "vkey", "left")
-    counts = marked.groupBy("partition", "rule_id").agg(
-        F.count(F.lit(1)).alias("n_viol"),
-        F.sum(F.when(F.col("accepted").isNull(), 1).otherwise(0)).alias("n_new"),
+    uniq_keyed = uniq_viol.withColumn("vkey", violation_key(uniq_viol))
+    uniq_counts = (
+        uniq_keyed.join(F.broadcast(acc_df), "vkey", "left")
+        .groupBy("partition", "rule_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_viol"),
+            F.sum(
+                F.when(F.col("accepted").isNull(), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+    row_count_tuples = [
+        (p, rid, int(nv), int(nn))
+        for p in all_parts
+        if p in ledger.partitions
+        for rid, (nv, nn) in sorted(
+            ledger.partitions[p].get("rule_counts", {}).items()
+        )
+    ]
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    counts_schema = StructType(
+        [
+            StructField("partition", StringType()),
+            StructField("rule_id", StringType()),
+            StructField("n_viol", LongType()),
+            StructField("n_new", LongType()),
+        ]
+    )
+    counts = uniq_counts.unionByName(
+        spark.createDataFrame(row_count_tuples, counts_schema)
     )
 
     _mark("uniqueness_and_ndv")
     part_rows = spark.createDataFrame(
-        [(p, int(ledger.partitions[p]["rows"])) for p in all_parts],
+        [
+            (p, int(ledger.partitions.get(p, {}).get("rows", 0)))
+            for p in all_parts
+        ],
         ["part", "rows"],
     )
     verdicts = build_verdicts(counts, part_rows, cfg.gates, set(accepted))
@@ -406,11 +515,24 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
 
     final_viol = spark.read.parquet(violations_path)
     final_verd = spark.read.parquet(verdicts_path)
-    rule_counts = {
+    exemplar_counts = {
         r["rule_id"]: r["n"]
         for r in final_viol.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    # True totals: ledger tallies (pre-cap) for row rules + the uncapped
+    # table-scope uniqueness rows from the written output.
+    rule_counts: dict[str, int] = {}
+    for p in all_parts:
+        for rid, (nv, _nn) in ledger.partitions.get(p, {}).get(
+            "rule_counts", {}
+        ).items():
+            rule_counts[rid] = rule_counts.get(rid, 0) + int(nv)
+    if "uniq:clip_id" in exemplar_counts:
+        rule_counts["uniq:clip_id"] = exemplar_counts["uniq:clip_id"]
     n_viol_total = sum(rule_counts.values())
+    n_suppressed = sum(
+        int(ledger.partitions.get(p, {}).get("suppressed", 0)) for p in all_parts
+    )
     failed = [
         (r["partition"], r["rule_id"], r["reason"])
         for r in final_verd.filter(~F.col("pass")).orderBy("partition", "rule_id").collect()
@@ -476,6 +598,9 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         },
         "findings": {
             "total_violations": int(n_viol_total),
+            # exemplar rows beyond the per-(rule, partition) cap are counted
+            # here, never silently dropped (reference suppressed_* counts)
+            "suppressed_exemplars": int(n_suppressed),
             "by_rule": dict(sorted(rule_counts.items())),
             "failed_gates": [
                 {"partition": p, "rule_id": r, "reason": reason} for p, r, reason in failed

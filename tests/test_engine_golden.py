@@ -137,3 +137,50 @@ def test_resume_converges(spark, tiny_dir, tiny_run, tmp_path_factory):
         == r1.report["integrity"]["run_digest"]
         == tiny_run.report["integrity"]["run_digest"]
     )
+
+
+def test_exemplar_cap_preserves_true_counts(spark, tiny_dir, tmp_path_factory, tiny_manifest):
+    """A cap of 1 exemplar per (rule, partition) must not change gate
+    verdicts, report totals, or the run digest's determinism: true counts
+    come from the pre-cap aggregation and the excess is reported as
+    suppressed_exemplars."""
+    out = str(tmp_path_factory.mktemp("capped_run"))
+    res = run(spark, RunConfig(data_dir=tiny_dir, out_dir=out, exemplar_cap=1))
+    by_rule = res.report["findings"]["by_rule"]
+    pc = tiny_manifest["planted_counts"]
+    # true totals survive the cap
+    assert by_rule["audio:snr"] == pc["low_snr"]
+    assert by_rule["stats:null:dur_ms"] == pc["dur_null"]
+    assert res.report["findings"]["suppressed_exemplars"] > 0
+    # written exemplars are actually capped (<= 1 per rule x partition)
+    viol = spark.read.parquet(res.violations_path)
+    over = (
+        viol.filter(F.col("rule_id") != "uniq:clip_id")
+        .groupBy("rule_id", "partition")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert over == 0
+    assert res.exit_code == EXIT_GATE_FAILURE
+
+
+def test_zero_row_partition_resumes(spark, tiny_dir, tmp_path_factory, tmp_path):
+    """A listed part= directory with zero rows gets a zero ledger entry and
+    does not crash the run (or any resume of it)."""
+    import shutil
+
+    data = str(tmp_path / "data")
+    shutil.copytree(tiny_dir, data)
+    empty = os.path.join(data, "clips", "part=zz-empty")
+    os.makedirs(empty, exist_ok=True)
+    out = str(tmp_path_factory.mktemp("zero_row_run"))
+    res = run(spark, RunConfig(data_dir=data, out_dir=out))
+    assert res.exit_code == EXIT_GATE_FAILURE  # planted violations still fail
+    ledger = json.load(open(os.path.join(out, "ledger.json")))
+    assert ledger["partitions"]["zz-empty"]["rows"] == 0
+    # resume over the same out_dir converges without touching the empty part
+    res2 = run(spark, RunConfig(data_dir=data, out_dir=out))
+    assert res2.report["inventory"]["partitions_resumed"] == len(
+        ledger["partitions"]
+    )
