@@ -92,6 +92,24 @@ def encode_pcm(codec: str, pcm_i16: np.ndarray) -> bytes:
     raise ValueError(f"unknown codec {codec!r}")
 
 
+# Decompression bound: a <=MAX_CLIP_BYTES compressed payload must never
+# inflate past the largest legal decoded clip (zip-bomb guard — unbounded
+# zlib.decompress would defeat audio.py's task-memory ceiling).  48 kHz *
+# 60 s * int16 = ~5.8 MB; 64 MiB leaves generous slack while still turning
+# a multi-GB bomb into an error row.
+MAX_DECODED_BYTES = 64 * 1024 * 1024
+
+
+def _bounded_decompress(data: bytes) -> bytes:
+    d = zlib.decompressobj()
+    out = d.decompress(data, MAX_DECODED_BYTES)
+    if d.unconsumed_tail or not d.eof:
+        raise ValueError(
+            f"compressed payload inflates past {MAX_DECODED_BYTES} bytes"
+        )
+    return out
+
+
 def decode_pcm(codec: str, payload: bytes) -> np.ndarray:
     """Inverse of :func:`encode_pcm`. Raises on malformed payloads —
     callers convert exceptions into error rows, never task failures
@@ -103,14 +121,14 @@ def decode_pcm(codec: str, payload: bytes) -> np.ndarray:
     if codec == "flac":
         if payload[:4] != b"fLaC":
             raise ValueError("bad flac magic")
-        raw = zlib.decompress(payload[4:])
+        raw = _bounded_decompress(payload[4:])
         if len(raw) % 2:
             raise ValueError("flac payload has odd length")
         return np.frombuffer(raw, dtype="<i2")
     if codec == "vorbis":
         if payload[:4] != b"OggS":
             raise ValueError("bad vorbis magic")
-        obf = zlib.decompress(payload[4:])
+        obf = _bounded_decompress(payload[4:])
         raw = (np.frombuffer(obf, dtype=np.uint8) ^ 0x5A).tobytes()
         if len(raw) % 2:
             raise ValueError("vorbis payload has odd length")

@@ -72,3 +72,21 @@ def test_generator_idempotent(tiny_dir, tiny_manifest):
 
     m2 = generate(tiny_dir, profile="tiny")
     assert m2["planted_counts"] == tiny_manifest["planted_counts"]
+
+
+def test_zip_bomb_bounded():
+    """A small compressed payload that inflates to >64 MiB must raise (and
+    thus become an error row), not allocate the full bomb."""
+    import zlib
+
+    import pytest
+
+    from codeclone_spark.synth import MAX_DECODED_BYTES, decode_pcm
+
+    bomb = b"fLaC" + zlib.compress(b"\x00" * (MAX_DECODED_BYTES + 2), 9)
+    assert len(bomb) < 1024 * 1024  # the payload itself passes byte caps
+    with pytest.raises(ValueError, match="inflates past"):
+        decode_pcm("flac", bomb)
+    # a legitimate payload at the boundary still decodes
+    ok = b"fLaC" + zlib.compress(b"\x01\x02" * 1000, 6)
+    assert decode_pcm("flac", ok).shape == (1000,)
