@@ -885,6 +885,29 @@ FROM {_CLIPS_SQL} GROUP BY part ORDER BY part
 """
 
 
+def clips_dur_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-codec duration percentiles — the engine's quantile surface
+    (report stats + baseline snapshot use the mergeable sketch; this
+    oracle-checked twin uses exact interpolated percentile so DuckDB's
+    quantile_cont reproduces it bit-for-bit).  Outputs are integer
+    e4-scaled to keep floats out of the contract."""
+    c = _clips(spark, sf)
+    agg = [
+        F.round(F.expr(f"percentile(dur_ms, {q}) * 10000")).cast("long").alias(a)
+        for q, a in ((0.5, "p50_e4"), (0.95, "p95_e4"), (0.99, "p99_e4"))
+    ]
+    return c.groupBy("codec").agg(*agg).orderBy("codec")
+
+
+CLIPS_DURQ_SQL = f"""
+SELECT codec,
+       CAST(round(quantile_cont(dur_ms, 0.5) * 10000) AS BIGINT) AS p50_e4,
+       CAST(round(quantile_cont(dur_ms, 0.95) * 10000) AS BIGINT) AS p95_e4,
+       CAST(round(quantile_cont(dur_ms, 0.99) * 10000) AS BIGINT) AS p99_e4
+FROM {_CLIPS_SQL} GROUP BY codec ORDER BY codec
+"""
+
+
 def clips_dup_ids(spark: SparkSession, sf: str) -> DataFrame:
     c = _clips(spark, sf)
     return (
@@ -1019,6 +1042,7 @@ def build_registry() -> dict[str, QueryDef]:
         "sim_cosine_topk": QueryDef(sim_cosine_topk, SIM_TOPK_SQL),
         "sim_srp_buckets": QueryDef(sim_srp_buckets, _srp_sql()),
         "clips_stats_by_part": QueryDef(clips_stats_by_part, CLIPS_STATS_SQL),
+        "clips_dur_quantiles": QueryDef(clips_dur_quantiles, CLIPS_DURQ_SQL),
         "clips_dup_ids": QueryDef(clips_dup_ids, CLIPS_DUP_SQL),
         "clips_fixture_missing": QueryDef(clips_fixture_missing, CLIPS_MISSING_SQL),
         "clips_transcript_mismatch": QueryDef(

@@ -169,7 +169,22 @@ ROW_RULE_IDS = [
 ]
 # Rules evaluated outside the single row pass (their own shuffle / driver step)
 TABLE_RULE_IDS = ["uniq:clip_id"]
-DRIFT_RULE_IDS = ["drift:psi:dur_ms", "drift:ks:dur_ms", "drift:psi:sr_hz"]
+DRIFT_RULE_IDS = [
+    "drift:psi:dur_ms",
+    "drift:ks:dur_ms",
+    "drift:psi:sr_hz",
+    "drift:quantile:dur_ms",
+]
+
+# Fixed-bin mergeable quantile sketch for dur_ms: 25 ms resolution over the
+# legal duration domain + one overflow bin.  Per-partition count arrays merge
+# by element-wise sum across waves/resumes (the property a t-digest would
+# give; Spark's percentile_approx state is not ledger-persistable, so the
+# sketch IS the distributed quantile path — percentile_approx remains the
+# per-partition fast path in the same groupBy).
+QSK_BIN_MS = 25
+QSK_MAX_MS = 3200
+QSK_NBINS = QSK_MAX_MS // QSK_BIN_MS + 1  # + overflow
 
 
 def evaluate_row_rules(facts: DataFrame) -> DataFrame:
@@ -252,6 +267,25 @@ def _hist_expr(col: str, edges: list[float]) -> Column:
     return F.array(*buckets)
 
 
+def _qsketch_expr(col: str) -> Column:
+    """Quantile-sketch partial: array<long> of QSK_NBINS uniform-bin counts
+    (last bin = overflow).  Element-wise summable across partitions/waves."""
+    bin_idx = F.least(
+        (F.col(col).cast("long") / QSK_BIN_MS).cast("int"),
+        F.lit(QSK_NBINS - 1),
+    )
+    buckets = [
+        F.sum(
+            F.when(
+                F.col(col).isNotNull() & (F.col(col) >= 0) & (bin_idx == i),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        for i in range(QSK_NBINS)
+    ]
+    return F.array(*buckets)
+
+
 def partition_aggregates(facts: DataFrame) -> DataFrame:
     """All per-partition stats in ONE groupBy (partial+final hash agg).
     Histogram partials are mergeable arrays so drift can be computed from
@@ -270,6 +304,12 @@ def partition_aggregates(facts: DataFrame) -> DataFrame:
         F.sum((~F.col("decode_ok")).cast("long")).alias("undecodable"),
         F.approx_count_distinct("clip_id").alias("approx_ndv"),
         _hist_expr("dur_ms", DUR_BIN_EDGES).alias("dur_hist"),
+        # per-partition approx quantiles (Greenwald-Khanna, JVM-side) + the
+        # mergeable sketch that yields TABLE-level quantiles across waves
+        F.percentile_approx(
+            "dur_ms", [0.5, 0.95, 0.99], 10_000  # type: ignore[arg-type]
+        ).alias("dur_q"),
+        _qsketch_expr("dur_ms").alias("dur_qsk"),
         *sr_cats,
     )
 
@@ -286,6 +326,8 @@ class GateConfig:
     # drift gates
     psi_max: float = 0.25
     ks_max: float = 0.25
+    # max relative delta of any of p50/p95/p99 vs the baseline snapshot
+    quantile_rel_max: float = 0.25
 
     def budget(self, rule_id: str) -> tuple[int | None, float | None]:
         """Configured budgets for *rule_id*; ``None`` = constraint unset.

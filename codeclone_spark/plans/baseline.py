@@ -142,3 +142,27 @@ def ks_stat(expected: list[int], observed: list[int]) -> float:
         co += o / to
         d = max(d, abs(ce - co))
     return d
+
+
+def sketch_quantile(counts: list[int], bin_width: float, q: float) -> float | None:
+    """Quantile from a uniform fixed-bin sketch (last bin = overflow):
+    linear interpolation within the target bin, the same continuous-rank
+    convention as DuckDB quantile_cont / Spark percentile.  Returns None on
+    an empty sketch.  Overflow-bin hits clamp to the sketch ceiling."""
+    total = sum(counts)
+    if total == 0:
+        return None
+    rank = q * (total - 1)
+    cum = 0
+    for i, c in enumerate(counts):
+        if c == 0:
+            continue
+        if cum + c > rank:
+            ceiling = (len(counts) - 1) * bin_width
+            lo = i * bin_width
+            if lo >= ceiling:  # overflow bin: no upper edge, clamp
+                return ceiling
+            frac = (rank - cum) / c
+            return lo + frac * bin_width
+        cum += c
+    return (len(counts) - 1) * bin_width

@@ -77,6 +77,10 @@ def merge_partials(entries: list[dict[str, Any]]) -> dict[str, Any]:
     for e in entries:
         for i, c in enumerate(e["dur_hist"]):
             hist[i] += c
+    qsk = [0] * len(entries[0].get("dur_qsk", []))
+    for e in entries:
+        for i, c in enumerate(e.get("dur_qsk", [])):
+            qsk[i] += c
     sr_counts: dict[str, int] = {}
     for e in entries:
         for k, v in e["sr_counts"].items():
@@ -90,5 +94,6 @@ def merge_partials(entries: list[dict[str, Any]]) -> dict[str, Any]:
         "dur_max": max(maxs) if maxs else None,
         "dur_mean": round(wsum / nn, 6) if nn else None,
         "dur_hist": hist,
+        "dur_qsk": qsk,
         "sr_counts": dict(sorted(sr_counts.items())),
     }

@@ -43,6 +43,8 @@ from codeclone_spark.operators.rules import (
     ALLOWED_SR,
     DRIFT_RULE_IDS,
     DUR_BIN_EDGES,
+    QSK_BIN_MS,
+    QSK_NBINS,
     GateConfig,
     build_verdicts,
     evaluate_row_rules,
@@ -324,6 +326,12 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
                     "dur_mean": float(d["dur_mean"]) if d["dur_mean"] is not None else None,
                     "approx_ndv": d["approx_ndv"],
                     "dur_hist": [int(x) for x in d["dur_hist"]],
+                    "dur_q": (
+                        [float(x) for x in d["dur_q"]]
+                        if d["dur_q"] is not None
+                        else None
+                    ),
+                    "dur_qsk": [int(x) for x in d["dur_qsk"]],
                     "sr_counts": {
                         str(v): int(d[f"sr_{v}"]) for v in ALLOWED_SR
                     },
@@ -352,6 +360,8 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
                         "dur_mean": None,
                         "approx_ndv": 0,
                         "dur_hist": [0] * (len(DUR_BIN_EDGES) - 1),
+                        "dur_q": None,
+                        "dur_qsk": [0] * QSK_NBINS,
                         "sr_counts": {str(v): 0 for v in ALLOWED_SR},
                         "violations": 0,
                         "suppressed": 0,
@@ -467,6 +477,14 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     )
     verdicts = build_verdicts(counts, part_rows, cfg.gates, set(accepted))
 
+    # table-level quantiles from the merged fixed-bin sketch (mergeable
+    # across waves/resumes — the ledger never rescans completed partitions)
+    qsk = table_stats.get("dur_qsk", [])
+    quantiles_doc = {
+        p: bl.sketch_quantile(qsk, QSK_BIN_MS, q)
+        for p, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+    }
+
     # --- drift (driver-side math on merged mergeable partials)
     drift_verdicts: list[tuple[str, str, bool, str, str]] = []
     drift_metrics: dict[str, float] = {}
@@ -480,6 +498,28 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             ("drift:ks:dur_ms", bl.ks_stat(b_hist, c_hist), cfg.gates.ks_max),
             ("drift:psi:sr_hz", bl.psi(b_sr, c_sr), cfg.gates.psi_max),
         ]
+        # quantile drift: max relative delta of p50/p95/p99 vs snapshot
+        # (reference numeric-delta gating, baseline/diff.py:35-108)
+        b_q = (snapshot["stats"].get("dur_ms") or {}).get("quantiles") or {}
+        rel = 0.0
+        for p in ("p50", "p95", "p99"):
+            bq, cq = b_q.get(p), quantiles_doc.get(p)
+            if bq is not None and cq is not None:
+                rel = max(rel, abs(cq - bq) / max(abs(bq), 1.0))
+        if b_q:
+            checks.append(
+                ("drift:quantile:dur_ms", rel, cfg.gates.quantile_rel_max)
+            )
+        else:
+            drift_verdicts.append(
+                (
+                    TABLE_SCOPE,
+                    "drift:quantile:dur_ms",
+                    True,
+                    "drift:quantile:dur_ms: skipped (baseline has no quantiles)",
+                    "known",
+                )
+            )
         for rid, val, mx in checks:
             ok = val <= mx
             drift_metrics[rid] = round(val, 6)
@@ -569,6 +609,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             "min": table_stats.get("dur_min"),
             "max": table_stats.get("dur_max"),
             "mean": table_stats.get("dur_mean"),
+            "quantiles": quantiles_doc,
         },
         "transcript": {
             "count": table_stats.get("rows", 0),

@@ -72,3 +72,26 @@ def test_psi_detects_shift():
 
 def test_ks_bounded():
     assert 0.0 <= bl.ks_stat([1, 0], [0, 1]) <= 1.0
+
+
+def test_sketch_quantile_interpolation():
+    # 100 values uniform over [0, 25): all in bin 0 -> interpolate inside
+    counts = [100] + [0] * 128
+    assert 0.0 <= bl.sketch_quantile(counts, 25, 0.5) < 25.0
+    # point mass in bin 40 ([1000, 1025)) -> all quantiles inside that bin
+    counts = [0] * 129
+    counts[40] = 1000
+    for q in (0.5, 0.95, 0.99):
+        v = bl.sketch_quantile(counts, 25, q)
+        assert 1000.0 <= v < 1025.0, (q, v)
+    # empty sketch
+    assert bl.sketch_quantile([0] * 129, 25, 0.5) is None
+    # overflow bin clamps to the ceiling
+    counts = [0] * 129
+    counts[128] = 10
+    assert bl.sketch_quantile(counts, 25, 0.99) == 128 * 25
+    # monotone in q
+    counts = [i for i in range(129)]
+    q50 = bl.sketch_quantile(counts, 25, 0.5)
+    q99 = bl.sketch_quantile(counts, 25, 0.99)
+    assert q50 < q99

@@ -83,8 +83,10 @@ def test_verdict_grid_dense(spark, tiny_run, tiny_manifest):
     verd = spark.read.parquet(tiny_run.verdicts_path)
     n_parts = len(tiny_manifest["partitions"])
     n_rules = len(ROW_RULE_IDS) + len(TABLE_RULE_IDS)
-    # per-partition rule grid + 3 table-level drift rows
-    assert verd.count() == n_parts * n_rules + 3
+    # per-partition rule grid + 4 table-level drift rows
+    from codeclone_spark.operators.rules import DRIFT_RULE_IDS
+
+    assert verd.count() == n_parts * n_rules + len(DRIFT_RULE_IDS)
     fails = verd.filter(~F.col("pass"))
     assert fails.count() == len(tiny_run.report["findings"]["failed_gates"])
     novel = {r["novelty"] for r in verd.collect()}
@@ -184,3 +186,42 @@ def test_zero_row_partition_resumes(spark, tiny_dir, tmp_path_factory, tmp_path)
     assert res2.report["inventory"]["partitions_resumed"] == len(
         ledger["partitions"]
     )
+
+
+def test_quantiles_roundtrip_and_drift_gate(spark, tiny_dir, tmp_path_factory):
+    """Quantiles flow end-to-end: report stats -> baseline snapshot ->
+    quantile-drift verdict; a shifted baseline trips the gate."""
+    from codeclone_spark.plans import baseline as bl
+
+    out1 = str(tmp_path_factory.mktemp("q_write"))
+    base = os.path.join(out1, "baseline.json")
+    r1 = run(
+        spark,
+        RunConfig(data_dir=tiny_dir, out_dir=out1, baseline_path=base, update_baseline=True),
+    )
+    q = r1.report["metrics"]["stats"]["dur_ms"]["quantiles"]
+    assert q["p50"] is not None and q["p50"] <= q["p95"] <= q["p99"]
+    doc = json.load(open(base))
+    assert doc["stats"]["dur_ms"]["quantiles"] == pytest.approx(
+        {k: round(v, 6) for k, v in q.items()}
+    )
+    # self-comparison: quantile drift present and green
+    out2 = str(tmp_path_factory.mktemp("q_read"))
+    r2 = run(spark, RunConfig(data_dir=tiny_dir, out_dir=out2, baseline_path=base))
+    assert r2.exit_code == EXIT_OK
+    assert r2.report["metrics"]["drift"]["drift:quantile:dur_ms"] <= 1e-9
+    # shift the snapshot's quantiles by 2x (re-signed) -> gate fails
+    shifted = json.loads(json.dumps(doc["stats"]))
+    shifted["dur_ms"]["quantiles"] = {k: v * 2 for k, v in q.items()}
+    bl.write_baseline(
+        base,
+        stats=shifted,
+        histograms=doc["histograms"],
+        uniqueness=doc["uniqueness"],
+        accepted_violations=doc["accepted_violations"],
+    )
+    out3 = str(tmp_path_factory.mktemp("q_drift"))
+    r3 = run(spark, RunConfig(data_dir=tiny_dir, out_dir=out3, baseline_path=base))
+    failed_rules = {f["rule_id"] for f in r3.report["findings"]["failed_gates"]}
+    assert "drift:quantile:dur_ms" in failed_rules
+    assert r3.exit_code == EXIT_GATE_FAILURE
