@@ -714,9 +714,14 @@ def _minhash_sql() -> str:
     return f"WITH sh AS ({_SHINGLE_SQL}) SELECT id, {mins} FROM sh GROUP BY id ORDER BY id"
 
 
+_LSH_MAX_BUCKET = 64  # low enough that the sf0.01 oracle exercises the cap
+
+
 def dedup_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
-    return dd.lsh_candidate_pairs(d, "doc_id", "text").orderBy("id_a", "id_b")
+    return dd.lsh_candidate_pairs(
+        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET
+    ).orderBy("id_a", "id_b")
 
 
 def _lsh_sql() -> str:
@@ -733,10 +738,45 @@ sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
 banded AS (
   SELECT id, b.band, b.key FROM sigs,
   LATERAL (SELECT * FROM (VALUES {band_rows}) AS v(band, key)) b
-)
+),
+kept AS (
+  SELECT band, key FROM banded GROUP BY band, key
+  HAVING count(*) <= {_LSH_MAX_BUCKET}
+),
+pruned AS (SELECT banded.* FROM banded JOIN kept USING (band, key))
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+FROM pruned a JOIN pruned b ON a.band = b.band AND a.key = b.key AND a.id < b.id
 ORDER BY id_a, id_b
+"""
+
+
+def dedup_lsh_suppressed(spark: SparkSession, sf: str) -> DataFrame:
+    """Buckets the LSH candidate join skipped (caps-as-backpressure
+    reporting: suppressed counts are surfaced, never silently dropped)."""
+    d = _t(spark, sf, "documents")
+    return dd.lsh_suppressed_buckets(
+        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET
+    ).orderBy("band", "key")
+
+
+def _lsh_suppressed_sql() -> str:
+    mins = ", ".join(
+        f"min({_H60_SQL.format(seed=i)})::BIGINT AS mh{i}" for i in range(dd.MINHASH_K)
+    )
+    n_bands = dd.MINHASH_K // 2
+    band_rows = ", ".join(
+        f"({b}, mh{2*b}::VARCHAR || '|' || mh{2*b+1}::VARCHAR)" for b in range(n_bands)
+    )
+    return f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
+banded AS (
+  SELECT id, b.band, b.key FROM sigs,
+  LATERAL (SELECT * FROM (VALUES {band_rows}) AS v(band, key)) b
+)
+SELECT band, key, count(*) AS n FROM banded GROUP BY band, key
+HAVING count(*) > {_LSH_MAX_BUCKET}
+ORDER BY band, key
 """
 
 
@@ -849,6 +889,74 @@ def _srp_sql(n_planes: int = 8, dim: int = 64) -> str:
         )
         terms.append(f"CASE WHEN ({dot}) > 0 THEN {2**p}::BIGINT ELSE 0 END")
     return f"SELECT vec_id AS id, ({' + '.join(terms)})::BIGINT AS bucket FROM embeddings ORDER BY id"
+
+
+def sim_ann_topk_srp(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN: exact cosine restricted to the query's SRP bucket (the pruned
+    scale path of sim_cosine_topk; bucket derivation is SQL-reproducible
+    so the index restriction itself is oracle-checked)."""
+    e = _t(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    return sim.ann_topk_srp(e, "vec_id", "embedding", q, k=10, n_planes=4)
+
+
+def _ann_srp_sql(n_planes: int = 4, dim: int = 64) -> str:
+    planes = sim.plane_signs(n_planes, dim)
+
+    def bucket_expr(arr: str) -> str:
+        terms = []
+        for p in range(n_planes):
+            dot = " + ".join(
+                f"({planes[p][d]}) * {arr}[{d + 1}]" for d in range(dim)
+            )
+            terms.append(f"CASE WHEN ({dot}) > 0 THEN {2**p}::BIGINT ELSE 0 END")
+        return "(" + " + ".join(terms) + ")::BIGINT"
+
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1)
+SELECT vec_id AS id, {bucket_expr("embedding")} AS bucket,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+FROM embeddings, q
+WHERE {bucket_expr("embedding")} = {bucket_expr("qv")}
+ORDER BY cosine DESC, id LIMIT 10
+"""
+
+
+_IVF_C = 4  # deterministic seed centroids: first C vectors by id
+
+
+def sim_ivf_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse assignment: nearest of C broadcast seed centroids."""
+    e = _t(spark, sf, "embeddings")
+    rows = e.orderBy("vec_id").limit(_IVF_C).collect()
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(rows)],
+        "cid BIGINT, cvec ARRAY<DOUBLE>",
+    )
+    return sim.ivf_assign(
+        e, "vec_id", "embedding", list(range(_IVF_C)), cdf
+    ).orderBy("id")
+
+
+IVF_ASSIGN_SQL = f"""
+WITH c AS (
+  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
+         embedding::DOUBLE[] AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_IVF_C})
+),
+scored AS (
+  SELECT e.vec_id AS id, c.cid,
+         list_dot_product(e.embedding::DOUBLE[], c.cvec)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(c.cvec, c.cvec))) AS cos
+  FROM embeddings e CROSS JOIN c
+)
+SELECT id, cid FROM scored
+QUALIFY row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid) = 1
+ORDER BY id
+"""
 
 
 # ================================================== audio clips (synth) ----
@@ -1036,11 +1144,14 @@ def build_registry() -> dict[str, QueryDef]:
         "dedup_exact_docs": QueryDef(dedup_exact_docs, DEDUP_EXACT_SQL),
         "dedup_minhash_sigs": QueryDef(dedup_minhash_sigs, _minhash_sql()),
         "dedup_lsh_pairs": QueryDef(dedup_lsh_pairs, _lsh_sql()),
+        "dedup_lsh_suppressed": QueryDef(dedup_lsh_suppressed, _lsh_suppressed_sql()),
         "dedup_jaccard_pairs": QueryDef(dedup_jaccard_pairs, _jaccard_sql()),
         "dedup_simhash": QueryDef(dedup_simhash, _simhash_sql()),
         "dedup_embedding_cosine": QueryDef(dedup_embedding_cosine, EMB_NEARDUP_SQL),
         "sim_cosine_topk": QueryDef(sim_cosine_topk, SIM_TOPK_SQL),
         "sim_srp_buckets": QueryDef(sim_srp_buckets, _srp_sql()),
+        "sim_ann_topk_srp": QueryDef(sim_ann_topk_srp, _ann_srp_sql()),
+        "sim_ivf_assign": QueryDef(sim_ivf_assign, IVF_ASSIGN_SQL),
         "clips_stats_by_part": QueryDef(clips_stats_by_part, CLIPS_STATS_SQL),
         "clips_dur_quantiles": QueryDef(clips_dur_quantiles, CLIPS_DURQ_SQL),
         "clips_dup_ids": QueryDef(clips_dup_ids, CLIPS_DUP_SQL),

@@ -83,17 +83,15 @@ def minhash_signature_groups(
     )
 
 
-def lsh_candidate_pairs(
+def _banded_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    k: int = SHINGLE_K,
-    n_hashes: int = MINHASH_K,
-    band_size: int = 2,
+    k: int,
+    n_hashes: int,
+    band_size: int,
 ) -> DataFrame:
-    """MinHash-LSH: band the signature, bucket-join within bands, emit
-    distinct candidate pairs (a < b).  shuffle keys are (band_idx, band_key)
-    — uniform by construction, no skew."""
+    """(id, band, key) rows: MinHash signature split into LSH bands."""
     sigs = minhash_signatures(char_shingles(df, id_col, text_col, k), n_hashes)
     n_bands = n_hashes // band_size
     bands = F.array(
@@ -111,9 +109,40 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sigs.select("id", F.explode(bands).alias("bk")).select(
+    return sigs.select("id", F.explode(bands).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+DEFAULT_MAX_BUCKET = 1024
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SHINGLE_K,
+    n_hashes: int = MINHASH_K,
+    band_size: int = 2,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """MinHash-LSH: band the signature, bucket-join within bands, emit
+    distinct candidate pairs (a < b).  Shuffle keys are (band_idx, band_key)
+    — uniform for genuine near-dups, but a degenerate key (e.g. boilerplate
+    text shared by d documents) would emit d^2/2 pairs, so buckets larger
+    than *max_bucket* are dropped before the self-join (caps as
+    backpressure, reference SURVEY §2.8).  Use
+    :func:`lsh_suppressed_buckets` with the SAME arguments to report what
+    was suppressed — a hot bucket is itself a dedup finding (one exact-dup
+    group), better handled by the exact pass than by a quadratic join."""
+    banded = _banded_signatures(df, id_col, text_col, k, n_hashes, band_size)
+    if max_bucket is not None:
+        sizes = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= max_bucket)
+        )
+        banded = banded.join(sizes, ["band", "key"]).drop("_bsz")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -121,6 +150,25 @@ def lsh_candidate_pairs(
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_suppressed_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SHINGLE_K,
+    n_hashes: int = MINHASH_K,
+    band_size: int = 2,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(band, key, n) for every LSH bucket the candidate join skipped —
+    suppressed counts are reported, never silently dropped."""
+    banded = _banded_signatures(df, id_col, text_col, k, n_hashes, band_size)
+    return (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
     )
 
 
@@ -132,8 +180,13 @@ def jaccard_pairs(
     threshold: float = 0.6,
 ) -> DataFrame:
     """Exact n-gram Jaccard over an inverted shingle index: self-join on
-    shingle -> pair intersection counts -> |A∪B| via per-doc set sizes."""
-    sh = char_shingles(df, id_col, text_col, k).persist()
+    shingle -> pair intersection counts -> |A∪B| via per-doc set sizes.
+
+    No persist(): the shingle frame feeds three subplans, but its distinct()
+    exchange is reused by Spark (ReusedExchange under AQE), and a cached
+    frame here leaked storage in long-lived sessions (no safe unpersist
+    point before the caller's action)."""
+    sh = char_shingles(df, id_col, text_col, k)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -192,17 +245,33 @@ def embedding_neardup_pairs(
     vec_col: str,
     block_col: str | None = None,
     threshold: float = 0.98,
+    srp_dim: int | None = None,
+    srp_planes: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs.  *block_col* is the blocking key
-    (e.g. a cluster/label id or an LSH bucket) that turns the O(n^2) join
-    into per-block joins — mandatory at scale, optional at test scale."""
+    """Embedding-cosine near-dup pairs.  Blocking is mandatory — an
+    unblocked self-join is a cartesian product at any real scale.  Pass
+    *block_col* (a cluster/label id or precomputed bucket), or *srp_dim*
+    (the embedding dimension) to derive a sign-random-projection bucket
+    internally (2^srp_planes blocks; cross-bucket near-dups are the usual
+    LSH recall trade-off).  Raises if neither is given."""
+    if block_col is None and srp_dim is None:
+        raise ValueError(
+            "embedding_neardup_pairs requires block_col or srp_dim: an "
+            "unblocked self-join is O(n^2) (full cross join)"
+        )
     vec = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    if block_col is not None:
+        blk = F.col(block_col)
+    else:
+        from codeclone_spark.operators.similarity import plane_signs, srp_bucket
+
+        blk = srp_bucket(vec, plane_signs(srp_planes, srp_dim))
     base = df.select(
         F.col(id_col).alias("id"),
         vec.alias("v"),
         norm.alias("nrm"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+        blk.alias("blk"),
     )
     a = base.alias("a")
     b = base.alias("b")

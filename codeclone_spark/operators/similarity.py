@@ -107,7 +107,9 @@ def ann_topk_srp(
         if sum(s * q for s, q in zip(plane, query)) > 0:
             qbits += 2**p
     qn = math.sqrt(sum(x * x for x in query)) or 1.0
-    cos = dot_lit(F.col(vec_col), query) / (norm(F.col(vec_col)) * qn)
+    v = F.col(vec_col).cast("array<double>")  # float32 -> double: match the
+    # double-based oracle's accumulation precision (same as cosine_topk)
+    cos = dot_lit(v, query) / (norm(v) * qn)
     return (
         df.select(
             F.col(id_col).alias("id"),
@@ -125,7 +127,10 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse assignment: nearest centroid by cosine via a broadcast
     cross join over C centroids (C small).  ``cdf``: (cid, cvec)."""
-    a = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
     c = cdf.select(F.col("cid"), F.col("cvec"))
     dot = F.aggregate(
         F.zip_with(F.col("v"), F.col("cvec"), lambda x, y: x * y),

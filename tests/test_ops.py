@@ -163,3 +163,37 @@ def test_ann_srp_contains_query_neighbors(spark):
     rows = got.collect()
     assert rows and rows[0]["id"] == 7  # same bucket as itself, cosine 1.0
     assert rows[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A degenerate bucket (many identical docs) is dropped from the
+    candidate join and reported via lsh_suppressed_buckets."""
+    rows = [(f"same{i}", "xxxxxyyyyyzzzzz") for i in range(20)] + [
+        ("a1", "hello world one two"),
+        ("a2", "hello world one two!"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dd.lsh_candidate_pairs(docs, "doc_id", "text", max_bucket=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # no pair from the 20-doc degenerate cluster (its buckets are all >10)
+    assert not any(a.startswith("same") for a, _ in pairs)
+    sup = dd.lsh_suppressed_buckets(docs, "doc_id", "text", max_bucket=10).collect()
+    assert len(sup) > 0 and all(r["n"] == 20 for r in sup)
+    # uncapped keeps the quadratic cluster
+    full = dd.lsh_candidate_pairs(docs, "doc_id", "text", max_bucket=None)
+    assert full.count() >= 190  # C(20,2)
+
+
+def test_embedding_neardup_requires_blocking(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("v1", [1.0, 0.0]), ("v2", [1.0, 0.001])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="block_col or srp_dim"):
+        dd.embedding_neardup_pairs(df, "vec_id", "embedding")
+    # SRP-derived blocking finds the co-bucketed near-dup
+    pairs = dd.embedding_neardup_pairs(
+        df, "vec_id", "embedding", srp_dim=2, threshold=0.99
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {("v1", "v2")}
