@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_srp_buckets",
+    "sim_ann_topk_srp",
+    "sim_ivf_assign",
+    "clips_dur_quantiles",
 ]
 
 
@@ -78,6 +81,31 @@ def main() -> None:
     timings["validation_full"] = round(t_val, 3)
     throughput = n_clips / t_val
 
+    # -- warm scenarios (reference comparisons.warm_full_speedup_vs_cold_full):
+    # 1) kill-at-50% resume: forget half the ledger entries, re-run — only
+    #    the forgotten partitions are re-decoded (scan-level pruning).
+    led_path = os.path.join(out_dir, "ledger.json")
+    with open(led_path) as f:
+        led = json.load(f)
+    items = sorted(led["partitions"].items())
+    led_half = {**led, "partitions": dict(items[: len(items) // 2])}
+    with open(led_path, "w") as f:
+        json.dump(led_half, f)
+    t0 = time.monotonic()
+    res_half = run(spark, RunConfig(data_dir=data_dir, out_dir=out_dir, gating=False))
+    timings["validation_resume_half"] = round(time.monotonic() - t0, 3)
+    # 2) fully-warm re-run: complete ledger, no partition re-decoded — the
+    #    remaining cost is global uniqueness + report (the warm floor).
+    t0 = time.monotonic()
+    res_warm = run(spark, RunConfig(data_dir=data_dir, out_dir=out_dir, gating=False))
+    t_warm = time.monotonic() - t0
+    timings["validation_warm_full"] = round(t_warm, 3)
+    digests_equal = (
+        res.report["integrity"]["run_digest"]
+        == res_half.report["integrity"]["run_digest"]
+        == res_warm.report["integrity"]["run_digest"]
+    )
+
     # -- representative operator queries
     for name in BENCH_QUERIES:
         qd = REGISTRY[name]
@@ -97,6 +125,8 @@ def main() -> None:
                 "sf": sf,
                 "clips": n_clips,
                 "validation_throughput_clips_per_sec": round(throughput, 1),
+                "warm_full_speedup_vs_cold_full": round(t_val / max(t_warm, 1e-9), 2),
+                "warm_digests_equal": digests_equal,
                 "cpus": CPUS,
                 "run_digest": res.report["integrity"]["run_digest"][:16],
             }

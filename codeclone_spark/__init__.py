@@ -29,7 +29,7 @@ ENGINE_NAME = "codeclone_spark"
 ENGINE_VERSION = "0.1.0"
 
 # Versioned persisted-artifact contracts (reference: contracts/__init__.py)
-BASELINE_SCHEMA_VERSION = "1.0"
+BASELINE_SCHEMA_VERSION = "1.1"
 REPORT_SCHEMA_VERSION = "1.0"
 LEDGER_SCHEMA_VERSION = "1.1"
 

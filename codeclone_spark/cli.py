@@ -33,6 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--force-smj", action="store_true")
     r.add_argument("--max-count", action="append", default=[],
                    metavar="RULE=N", help="per-rule violation budget")
+    r.add_argument("--test-lane-pattern", default=None, metavar="REGEX",
+                   help="partitions matching REGEX are the test lane:"
+                        " validated + reported, never gate the run")
+    r.add_argument("--suppress", action="append", default=[],
+                   metavar="RULE:PART",
+                   help="suppress new violations of RULE in partition PART"
+                        " ('*' = all partitions); repeatable")
     r.add_argument("--cores", type=int, default=None)
 
     g = sub.add_parser("synth", help="generate synthetic corpus")
@@ -79,6 +86,8 @@ def main(argv: list[str] | None = None) -> int:
                 update_baseline=args.update_baseline,
                 wave_size=args.wave_size,
                 force_smj=args.force_smj,
+                test_lane_pattern=args.test_lane_pattern,
+                suppressions=list(args.suppress),
                 gates=GateConfig(max_count=max_count),
             ),
         )

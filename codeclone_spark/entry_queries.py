@@ -1016,6 +1016,47 @@ FROM {_CLIPS_SQL} GROUP BY codec ORDER BY codec
 """
 
 
+def schema_evolution_clips(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution diff surface (reference compare_api_surfaces):
+    current clips schema vs a deliberately mutated expectation — one
+    column dropped from the expectation (-> added), one extra expected
+    (-> removed), one retyped (-> type_changed).  The oracle reproduces
+    the exact rows via DESCRIBE + a VALUES full-outer join."""
+    from codeclone_spark.operators import schema_diff as sd
+
+    c = _clips(spark, sf)
+    cur = sd.canonical_schema(c)
+    expected = dict(cur)
+    expected.pop("codec", None)  # current-only -> added
+    expected["loudness_lufs"] = "DOUBLE"  # expected-only -> removed
+    expected["transcript"] = "INTEGER"  # retyped -> type_changed
+    return sd.schema_diff_rows(spark, cur, expected).orderBy("status", "col_name")
+
+
+SCHEMA_EVOLUTION_SQL = f"""
+WITH cur AS (
+  SELECT column_name AS col_name, column_type AS t
+  FROM (DESCRIBE SELECT * FROM {_CLIPS_SQL})
+),
+exp AS (
+  SELECT * FROM (VALUES
+    ('clip_id', 'VARCHAR'), ('bytes', 'BLOB'), ('sr_hz', 'INTEGER'),
+    ('dur_ms', 'INTEGER'), ('transcript', 'INTEGER'), ('part', 'VARCHAR'),
+    ('loudness_lufs', 'DOUBLE')
+  ) AS v(col_name, t)
+)
+SELECT coalesce(e.col_name, c.col_name) AS col_name,
+       CASE WHEN c.col_name IS NULL THEN 'removed'
+            WHEN e.col_name IS NULL THEN 'added'
+            ELSE 'type_changed' END AS status,
+       e.t AS expected_type,
+       c.t AS current_type
+FROM exp e FULL OUTER JOIN cur c ON e.col_name = c.col_name
+WHERE c.col_name IS NULL OR e.col_name IS NULL OR e.t <> c.t
+ORDER BY status, col_name
+"""
+
+
 def clips_dup_ids(spark: SparkSession, sf: str) -> DataFrame:
     c = _clips(spark, sf)
     return (
@@ -1154,6 +1195,7 @@ def build_registry() -> dict[str, QueryDef]:
         "sim_ivf_assign": QueryDef(sim_ivf_assign, IVF_ASSIGN_SQL),
         "clips_stats_by_part": QueryDef(clips_stats_by_part, CLIPS_STATS_SQL),
         "clips_dur_quantiles": QueryDef(clips_dur_quantiles, CLIPS_DURQ_SQL),
+        "schema_evolution_clips": QueryDef(schema_evolution_clips, SCHEMA_EVOLUTION_SQL),
         "clips_dup_ids": QueryDef(clips_dup_ids, CLIPS_DUP_SQL),
         "clips_fixture_missing": QueryDef(clips_fixture_missing, CLIPS_MISSING_SQL),
         "clips_transcript_mismatch": QueryDef(

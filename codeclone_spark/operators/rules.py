@@ -175,6 +175,9 @@ DRIFT_RULE_IDS = [
     "drift:psi:sr_hz",
     "drift:quantile:dur_ms",
 ]
+# schema-evolution verdicts vs the baseline snapshot (breaking changes only;
+# added columns are informational, reported not gated)
+SCHEMA_RULE_IDS = ["schema:removed", "schema:type_change"]
 
 # Fixed-bin mergeable quantile sketch for dur_ms: 25 ms resolution over the
 # legal duration domain + one overflow bin.  Per-partition count arrays merge
@@ -352,6 +355,7 @@ def build_verdicts(
     partition_rows: DataFrame,
     gates: GateConfig,
     accepted: set[str] | None = None,
+    test_lane: set[str] | None = None,
 ) -> DataFrame:
     """(partition, rule_id) -> pass/reason/novelty.
 
@@ -359,7 +363,11 @@ def build_verdicts(
     violations NOT in the baseline accepted set.  *partition_rows*: (part,
     rows).  Every (partition x row rule) pair gets a verdict (dense grid), so
     a clean partition still asserts an explicit pass — the reference's gate
-    evaluator enumerates every configured gate the same way."""
+    evaluator enumerates every configured gate the same way.
+
+    *test_lane* partitions (reference is_test_filepath lane routing,
+    analysis/units.py:151,176) are validated and reported but never gate a
+    run: their verdicts pass with an informational reason."""
     spark = violation_counts.sparkSession
     all_rules = ROW_RULE_IDS + TABLE_RULE_IDS
     rules_df = spark.createDataFrame([(r,) for r in all_rules], ["rule_id"])
@@ -431,6 +439,13 @@ def build_verdicts(
         )
     )
     novelty = F.when(F.col("n_new") > 0, F.lit("new")).otherwise(F.lit("known"))
+    if test_lane:
+        in_lane = F.col("partition").isin(sorted(test_lane))
+        reason = F.when(
+            in_lane & ~passed,
+            F.concat(F.lit("test-lane (informational): "), reason),
+        ).otherwise(reason)
+        passed = in_lane | passed
     return j.select(
         "partition",
         "rule_id",

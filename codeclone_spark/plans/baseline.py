@@ -29,6 +29,7 @@ import hmac
 import json
 import math
 import os
+import re
 from dataclasses import dataclass
 from typing import Any
 
@@ -59,12 +60,15 @@ def write_baseline(
     uniqueness: dict[str, Any],
     accepted_violations: list[str],
     created_at: str = DEFAULT_CREATED_AT,
+    schema: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     payload = {
         "stats": stats,
         "histograms": histograms,
         "uniqueness": uniqueness,
         "accepted_violations": sorted(accepted_violations),
+        # table schema snapshot for evolution diffs ({columns, partition_keys})
+        "schema": schema or {},
     }
     doc = {
         "meta": {
@@ -84,10 +88,42 @@ def write_baseline(
     return doc
 
 
+_KEY_RULE_RE = re.compile(r"^[A-Za-z0-9:_\-]{1,64}$")
+MAX_VKEY_LEN = 512
+
+
+def _parse_version(v: Any) -> tuple[int, int] | None:
+    if not isinstance(v, str):
+        return None
+    parts = v.split(".")
+    if len(parts) < 2 or not all(p.isdigit() for p in parts[:2]):
+        return None
+    return int(parts[0]), int(parts[1])
+
+
+def _valid_vkey(k: Any) -> bool:
+    """Accepted-violation key shape: 'rule_id|partition|clip_id' with a
+    bounded, rule-charset first field (reference validates baseline ID
+    regexes the same way, clone_baseline.py:42-43)."""
+    if not isinstance(k, str) or len(k) > MAX_VKEY_LEN:
+        return False
+    parts = k.split("|")
+    return len(parts) >= 3 and bool(_KEY_RULE_RE.match(parts[0]))
+
+
 def load_baseline(path: str) -> tuple[dict[str, Any] | None, Trust]:
     """Returns (snapshot, trust). snapshot is None when absent/unreadable.
     Trust semantics: missing -> untrusted('missing'); tampered/mismatched ->
-    untrusted with reason; caller decides degrade vs fail-closed."""
+    untrusted with reason; caller decides degrade vs fail-closed.
+
+    Trust matrix (reference clone_baseline.py:316-359 semantics):
+    - schema_version: same major required; minor <= current accepted
+      (older minors lack newer payload keys, which stay optional), newer
+      minor rejected (written by a newer engine).
+    - engine_version: must parse and share the current engine's major.
+    - accepted_violations: every key must be a shape-valid violation key.
+    - payload_sha256: recomputed over the keys that baseline's minor
+      carries; constant-time compare."""
     if not os.path.exists(path):
         return None, Trust(False, "baseline missing")
     if os.path.getsize(path) > MAX_BASELINE_BYTES:
@@ -101,13 +137,27 @@ def load_baseline(path: str) -> tuple[dict[str, Any] | None, Trust]:
     meta = doc.get("meta")
     if not isinstance(meta, dict):
         return None, Trust(False, "baseline meta missing")
-    if meta.get("schema_version") != BASELINE_SCHEMA_VERSION:
+
+    cur = _parse_version(BASELINE_SCHEMA_VERSION)
+    got = _parse_version(meta.get("schema_version"))
+    if got is None or got[0] != cur[0] or got[1] > cur[1]:
         return doc, Trust(
             False,
-            f"schema_version mismatch: {meta.get('schema_version')!r} != "
-            f"{BASELINE_SCHEMA_VERSION!r}",
+            f"schema_version incompatible: {meta.get('schema_version')!r} "
+            f"vs engine {BASELINE_SCHEMA_VERSION!r}",
         )
-    required = ("stats", "histograms", "uniqueness", "accepted_violations")
+    eng = _parse_version(meta.get("engine_version"))
+    cur_eng = _parse_version(ENGINE_VERSION)
+    if eng is None or eng[0] != cur_eng[0]:
+        return doc, Trust(
+            False,
+            f"engine_version incompatible: {meta.get('engine_version')!r} "
+            f"vs {ENGINE_VERSION!r}",
+        )
+
+    required = ["stats", "histograms", "uniqueness", "accepted_violations"]
+    if got[1] >= 1:
+        required.append("schema")
     if any(k not in doc for k in required):
         return doc, Trust(False, "baseline payload keys missing")
     payload = {k: doc[k] for k in required}
@@ -115,6 +165,9 @@ def load_baseline(path: str) -> tuple[dict[str, Any] | None, Trust]:
     actual = payload_sha256(payload)
     if not hmac.compare_digest(str(expect), actual):
         return doc, Trust(False, "payload_sha256 mismatch (tampered baseline)")
+    acc = doc["accepted_violations"]
+    if not isinstance(acc, list) or any(not _valid_vkey(k) for k in acc):
+        return doc, Trust(False, "accepted_violations key shape invalid")
     return doc, Trust(True, "ok")
 
 

@@ -45,6 +45,7 @@ from codeclone_spark.operators.rules import (
     DUR_BIN_EDGES,
     QSK_BIN_MS,
     QSK_NBINS,
+    SCHEMA_RULE_IDS,
     GateConfig,
     build_verdicts,
     evaluate_row_rules,
@@ -52,6 +53,7 @@ from codeclone_spark.operators.rules import (
     violation_key,
 )
 from codeclone_spark.plans import baseline as bl
+from codeclone_spark.plans import health
 from codeclone_spark.plans.facts import (
     assemble_facts,
     build_facts,
@@ -77,6 +79,16 @@ class RunConfig:
     wave_size: int | None = None  # None -> single wave (max parallelism)
     force_smj: bool = False
     snr_strategy: str = "two_phase"  # or "full_join" (lossy-dominated tables)
+    # Partitions matching this regex are the TEST lane (reference
+    # is_test_filepath routing): fully validated and reported, but their
+    # gate verdicts are informational — they never fail a run.
+    test_lane_pattern: str | None = None
+    # Per-(rule, partition) suppression directives (reference
+    # analysis/suppressions.py index, applied in metrics/dead_code.py:82-101):
+    # each entry is "rule_id:partition" ("*" partition = all partitions).
+    # Matching NEW violations are treated as accepted debt for gating —
+    # still reported, counted under findings.suppressed_by_directive.
+    suppressions: list[str] = field(default_factory=list)
     # Per-(rule, partition) violation exemplar cap: a pathological table
     # (e.g. an all-null column at 10^12 rows) must not materialize 10^12
     # violation rows.  Gate counts/verdicts/report totals use TRUE pre-cap
@@ -156,6 +168,9 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     validate_data_dir(cfg.data_dir)
     clips = read_clips(spark, cfg.data_dir)
     validate_clips_schema(clips)
+    from codeclone_spark.operators.schema_diff import canonical_schema, schema_diff
+
+    current_schema = canonical_schema(clips)
     fixtures_meta = read_fixtures_meta(spark, cfg.data_dir)
     fixtures_pcm = read_fixtures_pcm(spark, cfg.data_dir)
 
@@ -467,6 +482,33 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         spark.createDataFrame(row_count_tuples, counts_schema)
     )
 
+    # --- suppression directives: zero n_new for matching (rule, partition)
+    # pairs (gate-level allowlist; the violation rows stay in the output)
+    n_suppressed_directive = 0
+    if cfg.suppressions:
+        import re as _re
+
+        directives = []
+        for s in cfg.suppressions:
+            # rule ids contain ':' themselves — split on the LAST colon
+            rid, _, part = s.rpartition(":")
+            if not rid or not part or not _re.match(r"^[A-Za-z0-9:_\-]+$", rid):
+                raise ValueError(f"malformed suppression {s!r} (rule_id:partition)")
+            directives.append((rid, part))
+        match = None
+        for rid, part in directives:
+            m = (F.col("rule_id") == rid) & (
+                F.lit(part == "*") | (F.col("partition") == part)
+            )
+            match = m if match is None else (match | m)
+        counts = counts.withColumn(
+            "_supp", F.when(match, F.col("n_new")).otherwise(F.lit(0))
+        ).withColumn("n_new", F.col("n_new") - F.col("_supp"))
+        n_suppressed_directive = int(
+            counts.agg(F.sum("_supp").alias("s")).collect()[0]["s"] or 0
+        )
+        counts = counts.drop("_supp")
+
     _mark("uniqueness_and_ndv")
     part_rows = spark.createDataFrame(
         [
@@ -475,7 +517,15 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         ],
         ["part", "rows"],
     )
-    verdicts = build_verdicts(counts, part_rows, cfg.gates, set(accepted))
+    lane_parts: set[str] = set()
+    if cfg.test_lane_pattern:
+        import re as _lane_re
+
+        lane_rx = _lane_re.compile(cfg.test_lane_pattern)
+        lane_parts = {p for p in all_parts if lane_rx.search(p)}
+    verdicts = build_verdicts(
+        counts, part_rows, cfg.gates, set(accepted), test_lane=lane_parts
+    )
 
     # table-level quantiles from the merged fixed-bin sketch (mergeable
     # across waves/resumes — the ledger never rescans completed partitions)
@@ -534,6 +584,44 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             drift_verdicts.append(
                 (TABLE_SCOPE, rid, True, f"{rid}: skipped (no trusted baseline)", "known")
             )
+    # --- schema-evolution diff vs the snapshot (reference api_surface
+    # comparison wired into baseline/diff.py:84-89: removed/type-change are
+    # breaking verdicts, added is informational)
+    schema_metrics: dict[str, Any] = {}
+    baseline_cols = ((snapshot or {}).get("schema") or {}).get("columns") or {}
+    if baseline_cols:
+        sdiff = schema_diff(current_schema, baseline_cols)
+        schema_metrics = sdiff
+        for rid, changes in (
+            ("schema:removed", sdiff["removed"]),
+            ("schema:type_change", [f"{c}:{b}->{n}" for c, b, n in sdiff["type_changed"]]),
+        ):
+            ok = not changes
+            reason = (
+                f"{rid}: ok (no breaking schema change)"
+                if ok
+                else f"{rid}: {', '.join(changes)}"
+            )
+            drift_verdicts.append(
+                (TABLE_SCOPE, rid, ok, reason, "known" if ok else "new")
+            )
+        if sdiff["added"]:
+            warnings.append(
+                "schema: added columns (non-breaking): "
+                + ", ".join(sdiff["added"])
+            )
+    else:
+        for rid in SCHEMA_RULE_IDS:
+            drift_verdicts.append(
+                (
+                    TABLE_SCOPE,
+                    rid,
+                    True,
+                    f"{rid}: skipped (no baseline schema)",
+                    "known",
+                )
+            )
+
     drift_df = spark.createDataFrame(
         drift_verdicts, ["partition", "rule_id", "pass", "reason", "novelty"]
     )
@@ -635,13 +723,20 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         "inventory": {
             "partitions": len(all_parts),
             "partitions_resumed": resumed,
+            "partitions_test_lane": len(lane_parts),
             "rows": table_stats.get("rows", 0),
+            "rows_test_lane": sum(
+                int(ledger.partitions.get(p, {}).get("rows", 0))
+                for p in lane_parts
+            ),
         },
         "findings": {
             "total_violations": int(n_viol_total),
             # exemplar rows beyond the per-(rule, partition) cap are counted
             # here, never silently dropped (reference suppressed_* counts)
             "suppressed_exemplars": int(n_suppressed),
+            # new violations allowlisted by suppression directives
+            "suppressed_by_directive": int(n_suppressed_directive),
             "by_rule": dict(sorted(rule_counts.items())),
             "failed_gates": [
                 {"partition": p, "rule_id": r, "reason": reason} for p, r, reason in failed
@@ -652,6 +747,13 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             "histograms": histograms,
             "uniqueness": uniqueness,
             "drift": drift_metrics,
+            "schema": schema_metrics,
+            # 0-100 scalar + grade (reference metrics/health.py:95-162)
+            "health": health.health_score(
+                rows=table_stats.get("rows", 0),
+                violations=int(n_viol_total),
+                undecodable=int(table_stats.get("undecodable", 0)),
+            ),
         },
         "baseline": {"trusted": trust.trusted, "reason": trust.reason},
         "warnings": warnings,
@@ -684,6 +786,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             uniqueness=uniqueness,
             accepted_violations=all_keys,
             created_at=cfg.created_at,
+            schema={"columns": current_schema, "partition_keys": ["part"]},
         )
         return RunResult(EXIT_OK, report, violations_path, verdicts_path)
 

@@ -50,7 +50,7 @@ def test_schema_version_mismatch(tmp_path):
         json.dump(doc, f)
     _, trust = bl.load_baseline(path)
     assert not trust.trusted
-    assert "schema_version mismatch" in trust.reason
+    assert "schema_version incompatible" in trust.reason
 
 
 def test_missing_baseline(tmp_path):
@@ -95,3 +95,78 @@ def test_sketch_quantile_interpolation():
     q50 = bl.sketch_quantile(counts, 25, 0.5)
     q99 = bl.sketch_quantile(counts, 25, 0.99)
     assert q50 < q99
+
+
+def _resign(path):
+    """Re-sign a mutated baseline doc (valid sha; trust must come from the
+    OTHER checks)."""
+    doc = json.load(open(path))
+    payload_keys = ["stats", "histograms", "uniqueness", "accepted_violations", "schema"]
+    payload = {k: doc[k] for k in payload_keys if k in doc}
+    doc["meta"]["payload_sha256"] = bl.payload_sha256(payload)
+    json.dump(doc, open(path, "w"))
+
+
+def test_trust_rejects_newer_minor(tmp_path):
+    path, _ = _write(tmp_path)
+    doc = json.load(open(path))
+    doc["meta"]["schema_version"] = "1.99"
+    json.dump(doc, open(path, "w"))
+    _, trust = bl.load_baseline(path)
+    assert not trust.trusted and "schema_version incompatible" in trust.reason
+
+
+def test_trust_rejects_other_major(tmp_path):
+    path, _ = _write(tmp_path)
+    doc = json.load(open(path))
+    doc["meta"]["schema_version"] = "2.0"
+    json.dump(doc, open(path, "w"))
+    _, trust = bl.load_baseline(path)
+    assert not trust.trusted and "schema_version" in trust.reason
+
+
+def test_trust_accepts_older_minor_without_schema_key(tmp_path):
+    """A 1.0-era baseline (no schema payload key) stays loadable: same
+    major, older minor, sha computed over the keys that minor carries."""
+    path, _ = _write(tmp_path)
+    doc = json.load(open(path))
+    doc["meta"]["schema_version"] = "1.0"
+    del doc["schema"]
+    payload = {k: doc[k] for k in ("stats", "histograms", "uniqueness", "accepted_violations")}
+    doc["meta"]["payload_sha256"] = bl.payload_sha256(payload)
+    json.dump(doc, open(path, "w"))
+    snap, trust = bl.load_baseline(path)
+    assert trust.trusted, trust.reason
+    assert "schema" not in snap
+
+
+def test_trust_rejects_engine_major_mismatch(tmp_path):
+    path, _ = _write(tmp_path)
+    doc = json.load(open(path))
+    doc["meta"]["engine_version"] = "9.0.0"
+    json.dump(doc, open(path, "w"))
+    _, trust = bl.load_baseline(path)
+    assert not trust.trusted and "engine_version incompatible" in trust.reason
+
+
+def test_trust_rejects_malformed_accepted_keys(tmp_path):
+    path, _ = _write(tmp_path)
+    for bad in ("no pipes at all", "bad rule id!|p|c", "a|b", "x" * 600):
+        doc = json.load(open(path))
+        doc["accepted_violations"] = [bad]
+        json.dump(doc, open(path, "w"))
+        _resign(path)
+        _, trust = bl.load_baseline(path)
+        assert not trust.trusted, bad
+        assert "key shape invalid" in trust.reason, bad
+
+
+def test_schema_diff_pure():
+    from codeclone_spark.operators.schema_diff import schema_diff
+
+    cur = {"a": "VARCHAR", "b": "INTEGER", "d": "BLOB"}
+    base = {"a": "VARCHAR", "b": "DOUBLE", "c": "VARCHAR"}
+    d = schema_diff(cur, base)
+    assert d["removed"] == ["c"]
+    assert d["type_changed"] == [["b", "DOUBLE", "INTEGER"]]
+    assert d["added"] == ["d"]

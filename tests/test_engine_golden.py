@@ -83,10 +83,12 @@ def test_verdict_grid_dense(spark, tiny_run, tiny_manifest):
     verd = spark.read.parquet(tiny_run.verdicts_path)
     n_parts = len(tiny_manifest["partitions"])
     n_rules = len(ROW_RULE_IDS) + len(TABLE_RULE_IDS)
-    # per-partition rule grid + 4 table-level drift rows
-    from codeclone_spark.operators.rules import DRIFT_RULE_IDS
+    # per-partition rule grid + table-level drift and schema rows
+    from codeclone_spark.operators.rules import DRIFT_RULE_IDS, SCHEMA_RULE_IDS
 
-    assert verd.count() == n_parts * n_rules + len(DRIFT_RULE_IDS)
+    assert verd.count() == n_parts * n_rules + len(DRIFT_RULE_IDS) + len(
+        SCHEMA_RULE_IDS
+    )
     fails = verd.filter(~F.col("pass"))
     assert fails.count() == len(tiny_run.report["findings"]["failed_gates"])
     novel = {r["novelty"] for r in verd.collect()}
@@ -225,3 +227,129 @@ def test_quantiles_roundtrip_and_drift_gate(spark, tiny_dir, tmp_path_factory):
     failed_rules = {f["rule_id"] for f in r3.report["findings"]["failed_gates"]}
     assert "drift:quantile:dur_ms" in failed_rules
     assert r3.exit_code == EXIT_GATE_FAILURE
+
+
+def test_schema_evolution_gate(spark, tiny_dir, tmp_path_factory):
+    """A baseline whose schema snapshot no longer matches the table fails
+    the schema:removed / schema:type_change gates; matching schema passes
+    and records the snapshot columns."""
+    from codeclone_spark.plans import baseline as bl
+
+    out1 = str(tmp_path_factory.mktemp("sch_write"))
+    base = os.path.join(out1, "baseline.json")
+    r1 = run(
+        spark,
+        RunConfig(data_dir=tiny_dir, out_dir=out1, baseline_path=base, update_baseline=True),
+    )
+    doc = json.load(open(base))
+    cols = doc["schema"]["columns"]
+    assert cols["clip_id"] == "VARCHAR" and cols["bytes"] == "BLOB"
+    # matching schema -> both schema gates pass
+    out2 = str(tmp_path_factory.mktemp("sch_ok"))
+    r2 = run(spark, RunConfig(data_dir=tiny_dir, out_dir=out2, baseline_path=base))
+    assert r2.exit_code == EXIT_OK
+    assert r2.report["metrics"]["schema"] == {
+        "removed": [], "type_changed": [], "added": []
+    }
+    # simulate evolution: baseline expects a column the table lost + a type
+    # change (re-signed so trust still holds -> the DIFF must catch it)
+    mutated = dict(cols)
+    mutated["loudness_lufs"] = "DOUBLE"
+    mutated["dur_ms"] = "BIGINT"
+    bl.write_baseline(
+        base,
+        stats=doc["stats"],
+        histograms=doc["histograms"],
+        uniqueness=doc["uniqueness"],
+        accepted_violations=doc["accepted_violations"],
+        schema={"columns": mutated, "partition_keys": ["part"]},
+    )
+    out3 = str(tmp_path_factory.mktemp("sch_broken"))
+    r3 = run(spark, RunConfig(data_dir=tiny_dir, out_dir=out3, baseline_path=base))
+    assert r3.exit_code == EXIT_GATE_FAILURE
+    failed_rules = {f["rule_id"] for f in r3.report["findings"]["failed_gates"]}
+    assert {"schema:removed", "schema:type_change"} <= failed_rules
+    assert r3.report["metrics"]["schema"]["removed"] == ["loudness_lufs"]
+    assert r3.report["metrics"]["schema"]["type_changed"] == [
+        ["dur_ms", "BIGINT", "INTEGER"]
+    ]
+
+
+def test_suppression_directives(spark, tiny_dir, tmp_path_factory, tiny_manifest):
+    """A per-(rule, partition) suppression turns that gate green while the
+    violation rows stay in the output and the suppressed count is reported
+    (reference suppressions index semantics)."""
+    # find one partition with a planted low-snr violation
+    out0 = str(tmp_path_factory.mktemp("supp_probe"))
+    r0 = run(spark, RunConfig(data_dir=tiny_dir, out_dir=out0))
+    snr_parts = sorted(
+        f["partition"]
+        for f in r0.report["findings"]["failed_gates"]
+        if f["rule_id"] == "audio:snr"
+    )
+    assert snr_parts
+    target = snr_parts[0]
+    out1 = str(tmp_path_factory.mktemp("supp_one"))
+    r1 = run(
+        spark,
+        RunConfig(
+            data_dir=tiny_dir,
+            out_dir=out1,
+            suppressions=[f"audio:snr:{target}"],
+        ),
+    )
+    failed1 = {
+        (f["partition"], f["rule_id"]) for f in r1.report["findings"]["failed_gates"]
+    }
+    assert (target, "audio:snr") not in failed1
+    # other partitions' snr gates still fail; violations still reported
+    for p in snr_parts[1:]:
+        assert (p, "audio:snr") in failed1
+    assert r1.report["findings"]["by_rule"]["audio:snr"] == r0.report[
+        "findings"
+    ]["by_rule"]["audio:snr"]
+    assert r1.report["findings"]["suppressed_by_directive"] > 0
+    # wildcard suppresses the rule everywhere
+    out2 = str(tmp_path_factory.mktemp("supp_all"))
+    r2 = run(
+        spark,
+        RunConfig(data_dir=tiny_dir, out_dir=out2, suppressions=["audio:snr:*"]),
+    )
+    failed2 = {f["rule_id"] for f in r2.report["findings"]["failed_gates"]}
+    assert "audio:snr" not in failed2
+
+
+def test_test_lane_is_informational(spark, tiny_dir, tmp_path_factory, tiny_manifest):
+    """Test-lane partitions are validated and reported but never gate the
+    run (reference is_test_filepath lane routing)."""
+    out0 = str(tmp_path_factory.mktemp("lane_probe"))
+    r0 = run(spark, RunConfig(data_dir=tiny_dir, out_dir=out0))
+    failing_parts = sorted(
+        {
+            f["partition"]
+            for f in r0.report["findings"]["failed_gates"]
+            if f["partition"] != "<table>"
+        }
+    )
+    assert failing_parts
+    target = failing_parts[0]
+    out1 = str(tmp_path_factory.mktemp("lane_run"))
+    r1 = run(
+        spark,
+        RunConfig(data_dir=tiny_dir, out_dir=out1, test_lane_pattern=f"^{target}$"),
+    )
+    failed_parts1 = {f["partition"] for f in r1.report["findings"]["failed_gates"]}
+    assert target not in failed_parts1
+    assert r1.report["inventory"]["partitions_test_lane"] == 1
+    assert r1.report["inventory"]["rows_test_lane"] > 0
+    # violations of the lane partition are still reported
+    assert (
+        r1.report["findings"]["total_violations"]
+        == r0.report["findings"]["total_violations"]
+    )
+    # the informational verdict row carries the marker
+    verd = spark.read.parquet(r1.verdicts_path)
+    marked = verd.filter(
+        (F.col("partition") == target) & F.col("reason").contains("test-lane")
+    )
+    assert marked.count() > 0 and all(r["pass"] for r in marked.collect())
