@@ -169,6 +169,32 @@ ROW_RULE_IDS = [
 ]
 # Rules evaluated outside the single row pass (their own shuffle / driver step)
 TABLE_RULE_IDS = ["uniq:clip_id"]
+
+# Rule-intrinsic triage severity (reference risk/severity bucketing:
+# metrics registry families carry a risk class; errors are correctness
+# breaks, warns are quality signals).  Gating is budget-driven either way —
+# severity buckets the triage report, it does not bypass gates.
+RULE_SEVERITY = {
+    "audio:undecodable": "error",
+    "audio:len_consistency": "error",
+    "audio:snr": "error",
+    "audio:transcript_eq": "error",
+    "audio:silence": "warn",
+    "audio:clipping": "warn",
+    "ref:fixture_missing": "error",
+    "stats:null:dur_ms": "warn",
+    "stats:null:transcript": "warn",
+    "stats:range:dur_ms": "error",
+    "stats:domain:sr_hz": "error",
+    "stats:domain:codec": "error",
+    "uniq:clip_id": "error",
+    "drift:psi:dur_ms": "warn",
+    "drift:ks:dur_ms": "warn",
+    "drift:psi:sr_hz": "warn",
+    "drift:quantile:dur_ms": "warn",
+    "schema:removed": "error",
+    "schema:type_change": "error",
+}
 DRIFT_RULE_IDS = [
     "drift:psi:dur_ms",
     "drift:ks:dur_ms",
@@ -209,6 +235,7 @@ def evaluate_row_rules(facts: DataFrame) -> DataFrame:
                         "observed"
                     ),
                     F.lit(r.expected).alias("expected"),
+                    F.lit(RULE_SEVERITY[r.rule_id]).alias("severity"),
                 ),
             )
         )
@@ -225,6 +252,7 @@ def evaluate_row_rules(facts: DataFrame) -> DataFrame:
             "clip_id",
             F.col("v.observed").alias("observed"),
             F.col("v.expected").alias("expected"),
+            F.col("v.severity").alias("severity"),
         )
     )
 

@@ -45,6 +45,7 @@ from codeclone_spark.operators.rules import (
     DUR_BIN_EDGES,
     QSK_BIN_MS,
     QSK_NBINS,
+    RULE_SEVERITY,
     SCHEMA_RULE_IDS,
     GateConfig,
     build_verdicts,
@@ -217,15 +218,15 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         else:
             # persist phase A so bytes are decoded exactly once per wave
             # (both the rule pass and the SNR-suspect branch consume it).
-            # count() materializes the cache BEFORE dependent plans build:
-            # otherwise the suspects broadcast job and the main write job
-            # race to compute the same uncached decode subtree concurrently
-            # (observed: 3 concurrent 31-task stages thrashing 32 cores).
+            # The suspects collect below is the FIRST and ONLY action over
+            # the uncached decode, so it materializes the cache by itself —
+            # no separate count() job, and no concurrent-plan race (the
+            # race existed when two dependent jobs launched before the
+            # cache filled; one job cannot race itself).
             decoded = decode_stage(wave_clips).persist()
-            decoded.count()
             wave_pcm = fixtures_pcm.filter(F.col("part").isin(wave))
-            # materialize the suspect-partition list from the cached decode
-            # (cheap driver action) -> phase C prunes directories statically
+            # materialize the suspect-partition list (this action fills the
+            # decode cache) -> phase C prunes directories statically
             sus_parts = sorted(
                 r["part"]
                 for r in suspect_filter(
@@ -415,6 +416,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         "clip_id",
         F.concat_ws("", F.lit("count="), F.col("n").cast("string")).alias("observed"),
         F.lit("unique clip_id").alias("expected"),
+        F.lit(RULE_SEVERITY["uniq:clip_id"]).alias("severity"),
     )
 
     # Assemble row violations from the waves the ledger references — each
@@ -643,10 +645,29 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
 
     final_viol = spark.read.parquet(violations_path)
     final_verd = spark.read.parquet(verdicts_path)
-    exemplar_counts = {
-        r["rule_id"]: r["n"]
-        for r in final_viol.groupBy("rule_id").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # ONE aggregation serves exemplar counts AND the run digest: per-rule
+    # (count, digest-over-sorted-rows), folded into a global digest on the
+    # driver (batched report collects — one job instead of two).
+    rule_rows = final_viol.groupBy("rule_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sha2(
+            F.concat_ws(
+                ";",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws("|", "rule_id", "partition", "clip_id", "observed")
+                    )
+                ),
+            ),
+            256,
+        ).alias("digest"),
+    ).collect()
+    exemplar_counts = {r["rule_id"]: r["n"] for r in rule_rows}
+    run_digest = hashlib.sha256(
+        ";".join(
+            sorted(f"{r['rule_id']}:{r['digest']}" for r in rule_rows)
+        ).encode()
+    ).hexdigest()
     # True totals: ledger tallies (pre-cap) for row rules + the uncapped
     # table-scope uniqueness rows from the written output.
     rule_counts: dict[str, int] = {}
@@ -658,6 +679,10 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     if "uniq:clip_id" in exemplar_counts:
         rule_counts["uniq:clip_id"] = exemplar_counts["uniq:clip_id"]
     n_viol_total = sum(rule_counts.values())
+    by_severity: dict[str, int] = {}
+    for rid, n in rule_counts.items():
+        sev = RULE_SEVERITY.get(rid, "error")
+        by_severity[sev] = by_severity.get(sev, 0) + int(n)
     n_suppressed = sum(
         int(ledger.partitions.get(p, {}).get("suppressed", 0)) for p in all_parts
     )
@@ -665,23 +690,6 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         (r["partition"], r["rule_id"], r["reason"])
         for r in final_verd.filter(~F.col("pass")).orderBy("partition", "rule_id").collect()
     ]
-
-    # run digest over canonical violation identity (determinism contract,
-    # reference run_benchmark.py:446-452)
-    dig_row = final_viol.agg(
-        F.sha2(
-            F.concat_ws(
-                ";",
-                F.sort_array(
-                    F.collect_list(
-                        F.concat_ws("|", "rule_id", "partition", "clip_id", "observed")
-                    )
-                ),
-            ),
-            256,
-        ).alias("d")
-    ).collect()[0]
-    run_digest = dig_row["d"] or hashlib.sha256(b"").hexdigest()
 
     uniqueness = {
         "clip_id_approx_ndv": int(approx_ndv),  # HLL++ fast path
@@ -738,6 +746,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             # new violations allowlisted by suppression directives
             "suppressed_by_directive": int(n_suppressed_directive),
             "by_rule": dict(sorted(rule_counts.items())),
+            "by_severity": dict(sorted(by_severity.items())),
             "failed_gates": [
                 {"partition": p, "rule_id": r, "reason": reason} for p, r, reason in failed
             ],
