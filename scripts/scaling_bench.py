@@ -38,19 +38,13 @@ sys.path.insert(0, {repo!r})
 from codeclone_spark.session import get_spark
 from codeclone_spark.plans.runner import RunConfig, run
 
-def prewarm(root):
-    # Pull the corpus into page cache with ONE sequential reader.  This
-    # sandbox has a single shared virtio disk; N concurrent readers collapse
-    # it to random-I/O throughput, which anti-scales with parallelism.  On a
-    # real cluster aggregate storage bandwidth (S3/HDFS) scales with executor
-    # count, so the warm-cache measurement is the faithful analog of the
-    # CPU-bound scaling the north rule asks about.  Documented in BENCH.md.
-    buf = bytearray(1 << 20)
-    for dirpath, _, names in os.walk(root):
-        for n in names:
-            with open(os.path.join(dirpath, n), "rb", buffering=0) as f:
-                while f.readinto(buf):
-                    pass
+# The corpus is staged on a RAM disk (/dev/shm) by the parent process:
+# this sandbox has ONE shared virtio disk whose effective page cache is
+# small and dropped unpredictably, so N concurrent readers ANTI-scale on
+# it — a local artifact with no cluster analog (S3/HDFS aggregate
+# bandwidth scales with executor count).  tmpfs is RAM-backed and immune
+# to cache eviction, so the measurement captures the engine's compute
+# scaling, which is what the north rule's N-vs-4N criterion is about.
 
 cores = {cores}
 # identical shuffle partitioning at both levels -> identical plans;
@@ -61,7 +55,6 @@ spark.sparkContext.setLogLevel("ERROR")
 results = []
 from codeclone_spark.plans.facts import decode_stage, read_clips
 for i in range({runs} + 1):  # first run = warmup
-    prewarm({data_dir!r})
     # data-plane measurement: the decode stage alone (map-only over the
     # scan) — the part of the job that is distributed work rather than
     # driver orchestration
@@ -129,6 +122,14 @@ def main() -> None:
     from codeclone_spark.synth import ensure_profile
 
     data_dir = ensure_profile(os.path.join(REPO, "testclips"), profile)
+    # stage on tmpfs: RAM-backed, immune to this sandbox's page-cache drops
+    import shutil
+
+    shm_dir = f"/dev/shm/scaling_{profile}"
+    if not os.path.exists(os.path.join(shm_dir, "manifest.json")):
+        shutil.rmtree(shm_dir, ignore_errors=True)
+        shutil.copytree(data_dir, shm_dir)
+    data_dir = shm_dir
     with open(os.path.join(data_dir, "manifest.json")) as f:
         n_clips = json.load(f)["n_total_rows"]
 
@@ -213,11 +214,11 @@ measured runs).
 
 Host caveat, measured: this sandbox shares ONE virtio disk (~55 MB/s
 sequential, collapsing further under concurrent readers) with a small,
-flaky page cache; N parallel read tasks therefore ANTI-scale on cold
-data — a local artifact with no cluster analog (S3/HDFS aggregate
-bandwidth scales with executor count).  Each measured run is preceded by
-a single-threaded sequential pre-warm of the corpus into page cache, so
-the measurement captures the engine's compute scaling, which is what the
+unpredictably-dropped page cache; N parallel read tasks therefore
+ANTI-scale on it — a local artifact with no cluster analog (S3/HDFS
+aggregate bandwidth scales with executor count).  The corpus is staged
+on a RAM disk (/dev/shm, RAM-backed, eviction-immune) so the
+measurement captures the engine's compute scaling, which is what the
 north rule's N-vs-4N criterion is about.  Runs are interleaved across
 levels; min-of-{rounds} reported alongside medians (residual noise is
 strictly additive).
