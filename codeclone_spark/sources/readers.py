@@ -20,13 +20,22 @@ REQUIRED_CLIPS_COLUMNS = {
 }
 
 SENSITIVE_PREFIXES = ("/etc", "/proc", "/sys", "/dev", "/root/.ssh")
+# carve-outs under otherwise-sensitive prefixes: /dev/shm is a plain tmpfs
+# (RAM-staged datasets), not device nodes
+ALLOWED_CARVEOUTS = ("/dev/shm",)
 
 
 def validate_data_dir(data_dir: str, allowed_roots: list[str] | None = None) -> str:
     """Resolve + guard the input directory.  Raises ValueError on escape."""
     resolved = os.path.realpath(data_dir)
+    in_carveout = any(
+        resolved == ok or resolved.startswith(ok + os.sep)
+        for ok in ALLOWED_CARVEOUTS
+    )
     for bad in SENSITIVE_PREFIXES:
-        if resolved == bad or resolved.startswith(bad + os.sep):
+        if not in_carveout and (
+            resolved == bad or resolved.startswith(bad + os.sep)
+        ):
             raise ValueError(f"refusing sensitive path {resolved!r}")
     if allowed_roots:
         roots = [os.path.realpath(r) for r in allowed_roots]
