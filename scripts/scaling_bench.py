@@ -136,9 +136,10 @@ def main() -> None:
     lo_runs: list[dict] = []
     hi_runs: list[dict] = []
     n_shuffle = max(n_high, 8)
+    runs_per_jvm = int(os.environ.get("SCALING_RUNS_PER_JVM", "1"))
     for r in range(rounds):  # interleave levels
-        lo_runs += run_level(n_low, data_dir, 1, n_shuffle)
-        hi_runs += run_level(n_high, data_dir, 1, n_shuffle)
+        lo_runs += run_level(n_low, data_dir, runs_per_jvm, n_shuffle)
+        hi_runs += run_level(n_high, data_dir, runs_per_jvm, n_shuffle)
         print(f"round {r}: lo={lo_runs[-1]['t']:.1f}s hi={hi_runs[-1]['t']:.1f}s",
               flush=True)
 
