@@ -959,6 +959,73 @@ ORDER BY id
 """
 
 
+def sim_ivf_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN probe: exact cosine top-k restricted to the query vector's
+    coarse cell (centroids = first _IVF_C vectors by id, same as
+    sim_ivf_assign)."""
+    e = _t(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    rows = e.orderBy("vec_id").limit(_IVF_C).collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in rows]
+    return sim.ann_topk_ivf(e, "vec_id", "embedding", q, centroids, k=10)
+
+
+IVF_PROBE_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+c AS (
+  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
+         embedding::DOUBLE[] AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_IVF_C})
+),
+qcell AS (
+  SELECT c.cid FROM c, q
+  ORDER BY list_dot_product(q.qv, c.cvec)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.cvec, c.cvec))) DESC, c.cid
+  LIMIT 1
+),
+assigned AS (
+  SELECT e.vec_id AS id, c.cid,
+         list_dot_product(e.embedding::DOUBLE[], c.cvec)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(c.cvec, c.cvec))) AS cos
+  FROM embeddings e CROSS JOIN c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cos DESC, c.cid) = 1
+)
+SELECT e.vec_id AS id,
+       round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id IN (SELECT a.id FROM assigned a JOIN qcell ON a.cid = qcell.cid)
+ORDER BY cosine DESC, id LIMIT 10
+"""
+
+
+def stream_dedup_updates(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming first-seen dedup over the clips corpus (one
+    micro-batch per partition file; applyInPandasWithState cross-batch
+    state).  Non-SQL-expressible -> rows-only check; the cross-batch
+    semantics are golden-tested in tests/test_streaming.py."""
+    import tempfile
+
+    from codeclone_spark.streaming.stateful import run_stream_dedup
+
+    data_dir = clips_dir_for(sf)
+    tmp = tempfile.mkdtemp(prefix="ccspark_stream_dedup_")
+    out, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    q = run_stream_dedup(
+        spark, f"{data_dir}/clips/*", out, ckpt, max_files_per_trigger=8
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(out)
+        .groupBy("is_duplicate")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("is_duplicate")
+    )
+
+
 # ================================================== audio clips (synth) ----
 def clips_stats_by_part(spark: SparkSession, sf: str) -> DataFrame:
     """Mean is emitted as exact integer micro-ms (floor of sum*1e4/count on
@@ -1193,6 +1260,7 @@ def build_registry() -> dict[str, QueryDef]:
         "sim_srp_buckets": QueryDef(sim_srp_buckets, _srp_sql()),
         "sim_ann_topk_srp": QueryDef(sim_ann_topk_srp, _ann_srp_sql()),
         "sim_ivf_assign": QueryDef(sim_ivf_assign, IVF_ASSIGN_SQL),
+        "sim_ivf_probe": QueryDef(sim_ivf_probe, IVF_PROBE_SQL),
         "clips_stats_by_part": QueryDef(clips_stats_by_part, CLIPS_STATS_SQL),
         "clips_dur_quantiles": QueryDef(clips_dur_quantiles, CLIPS_DURQ_SQL),
         "schema_evolution_clips": QueryDef(schema_evolution_clips, SCHEMA_EVOLUTION_SQL),
@@ -1203,6 +1271,7 @@ def build_registry() -> dict[str, QueryDef]:
         ),
         "clips_dur_hist": QueryDef(clips_dur_hist, _clips_hist_sql()),
         "validation_violations": QueryDef(validation_violations, None),
+        "stream_dedup_updates": QueryDef(stream_dedup_updates, None),
     }
 
 

@@ -122,6 +122,55 @@ def ann_topk_srp(
     )
 
 
+def ann_topk_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+) -> DataFrame:
+    """IVF probe: exact cosine top-k restricted to the query's coarse cell.
+
+    The query's nearest centroid is computed driver-side (C is tiny); the
+    scan side assigns every vector to its nearest centroid (broadcast
+    cross join, see :func:`ivf_assign`) and only the query cell's members
+    are scored.  With the table written partitioned/bucketed by ``cid``
+    this becomes a partition-pruned scan at 10^12 rows."""
+    import math
+
+    def cos_lists(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    qcid = max(
+        range(len(centroids)), key=lambda i: (cos_lists(query, centroids[i]), -i)
+    )
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid BIGINT, cvec ARRAY<DOUBLE>",
+    )
+    assigned = ivf_assign(df, id_col, vec_col, list(range(len(centroids))), cdf)
+    cell_ids = assigned.filter(F.col("cid") == qcid).select("id")
+    qn = math.sqrt(sum(x * x for x in query)) or 1.0
+    v = F.col(vec_col).cast("array<double>")
+    cos = dot_lit(v, query) / (norm(v) * qn)
+    scored = df.select(
+        F.col(id_col).alias("id"), F.round(cos, 6).alias("cosine")
+    )
+    return (
+        # broadcast the id list: a plain semi-join would shuffle the scored
+        # side; at real scale the cell restriction is partition pruning on
+        # a cid-partitioned table instead
+        scored.join(F.broadcast(cell_ids), "id", "left_semi")
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def ivf_assign(
     df: DataFrame, id_col: str, vec_col: str, centroid_ids: list[int], cdf: DataFrame
 ) -> DataFrame:

@@ -99,3 +99,36 @@ def test_filter_pushdown_to_parquet(spark, tiny_dir):
     plan = _plan(q)
     assert "PushedFilters" in plan
     assert "sr_hz" in plan.split("PushedFilters")[1][:200]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Same-bucketed tables join with SMJ over co-located bucket scans —
+    zero Exchange in the physical plan (the repeated-join scale path)."""
+    from codeclone_spark.operators.bucketing import bucketed_join, save_bucketed
+
+    left = spark.range(0, 1000).selectExpr(
+        "concat('c', id) AS clip_id", "id % 7 AS x"
+    )
+    right = spark.range(0, 1000).selectExpr(
+        "concat('c', id) AS clip_id", "id % 3 AS y"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        save_bucketed(left, "t_bk_left", "clip_id", 8, path=str(tmp_path / "l"))
+        save_bucketed(right, "t_bk_right", "clip_id", 8, path=str(tmp_path / "r"))
+        joined = bucketed_join(spark, "t_bk_left", "t_bk_right", "clip_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+        # control: the same join on unbucketed frames DOES shuffle
+        plan2 = (
+            left.join(right.withColumnRenamed("y", "y2"), "clip_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bk_left")
+        spark.sql("DROP TABLE IF EXISTS t_bk_right")

@@ -57,3 +57,41 @@ def test_windowed_violation_counts(spark):
         ("2024-01-01 10:00", "audio:snr"): 2,
         ("2024-01-01 11:00", "audio:snr"): 1,
     }
+
+
+def test_stateful_stream_dedup_first_seen(spark, tmp_path):
+    """Cross-batch stateful dedup (applyInPandasWithState): a clip_id seen
+    in an earlier micro-batch is flagged duplicate in later batches; state
+    survives across batches within the run."""
+    from codeclone_spark.streaming.stateful import run_stream_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # file 0: a, b, c   file 1: b (dup across batches), d   file 2: a, a
+    batches = [["a", "b", "c"], ["b", "d"], ["a", "a"]]
+    for i, ids in enumerate(batches):
+        spark.createDataFrame(
+            [(cid, bytearray(b"\x00\x00"), 16000, 10, "pcm_s16le", "t") for cid in ids],
+            "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, f"f{i}"))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # stream over the individual batch dirs' files: use glob parent
+    q = run_stream_dedup(spark, src + "/*", out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    rows = spark.read.parquet(out).collect()
+    # per (clip_id, batch) update rows; 'b' and 'a' flagged dup once re-seen
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["clip_id"], []).append(r)
+    # a: first occurrence unique, later batch (2 copies) duplicate
+    a_rows = sorted(by_key["a"], key=lambda r: r["seen_before"])
+    assert a_rows[0]["seen_before"] == 0
+    assert any(r["is_duplicate"] for r in a_rows)
+    # b: seen in two different batches -> second update flags duplicate
+    b_rows = sorted(by_key["b"], key=lambda r: r["seen_before"])
+    assert len(b_rows) >= 2 and b_rows[-1]["is_duplicate"]
+    assert b_rows[-1]["seen_before"] >= 1
+    # c, d: never duplicated
+    assert not any(r["is_duplicate"] for r in by_key["c"] + by_key["d"])
