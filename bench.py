@@ -60,25 +60,32 @@ def main() -> None:
 
     # -- headline: full validation pass over the synthetic clips corpus
     data_dir = clips_dir_for(SF_DIR)  # generates once, deterministic
+    # Stage the corpus on tmpfs: this sandbox's single shared virtio disk
+    # anti-scales under parallel readers and its page cache is dropped
+    # unpredictably (see BENCH.md) — both local artifacts with no cluster
+    # analog (S3/HDFS aggregate bandwidth scales with executors).
+    shm = f"/dev/shm/ccspark_bench_{os.path.basename(data_dir.rstrip('/'))}"
+    if not os.path.exists(os.path.join(shm, "manifest.json")):
+        shutil.rmtree(shm, ignore_errors=True)
+        shutil.copytree(data_dir, shm)
+    data_dir = shm
     with open(os.path.join(data_dir, "manifest.json")) as f:
         n_clips = json.load(f)["n_total_rows"]
     out_dir = "/tmp/ccspark_bench_out"
-    # warmup (JVM/Arrow init) + sequential page-cache pre-warm: the sandbox's
-    # single shared disk anti-scales under parallel readers (see BENCH.md) —
-    # a local artifact with no cluster analog
+    # warmup run (JVM / Arrow / codegen init)
     shutil.rmtree(out_dir, ignore_errors=True)
     run(spark, RunConfig(data_dir=data_dir, out_dir=out_dir, gating=False))
-    buf = bytearray(1 << 20)
-    for dirpath, _, names in os.walk(data_dir):
-        for n in names:
-            with open(os.path.join(dirpath, n), "rb", buffering=0) as f:
-                while f.readinto(buf):
-                    pass
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.monotonic()
-    res = run(spark, RunConfig(data_dir=data_dir, out_dir=out_dir, gating=False))
-    t_val = time.monotonic() - t0
+    # min-of-2 measured colds: the host shows multi-second CPU-steal stalls
+    # (see BENCH.md), strictly additive -> min is the engine's number
+    t_colds = []
+    for _ in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        res = run(spark, RunConfig(data_dir=data_dir, out_dir=out_dir, gating=False))
+        t_colds.append(time.monotonic() - t0)
+    t_val = min(t_colds)
     timings["validation_full"] = round(t_val, 3)
+    cold_runs = [round(t, 3) for t in t_colds]
     throughput = n_clips / t_val
 
     # -- warm scenarios (reference comparisons.warm_full_speedup_vs_cold_full):
@@ -106,13 +113,16 @@ def main() -> None:
         == res_warm.report["integrity"]["run_digest"]
     )
 
-    # -- representative operator queries
+    # -- representative operator queries (warmup + min-of-2 measured)
     for name in BENCH_QUERIES:
         qd = REGISTRY[name]
         qd.fn(spark, SF_DIR).count()  # warmup (plan compile + file listing)
-        t0 = time.monotonic()
-        qd.fn(spark, SF_DIR).count()  # measured
-        timings[name] = round(time.monotonic() - t0, 3)
+        ts = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            qd.fn(spark, SF_DIR).count()  # measured
+            ts.append(time.monotonic() - t0)
+        timings[name] = round(min(ts), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -125,6 +135,7 @@ def main() -> None:
                 "sf": sf,
                 "clips": n_clips,
                 "validation_throughput_clips_per_sec": round(throughput, 1),
+                "validation_cold_runs": cold_runs,
                 "warm_full_speedup_vs_cold_full": round(t_val / max(t_warm, 1e-9), 2),
                 "warm_digests_equal": digests_equal,
                 "cpus": CPUS,
