@@ -195,7 +195,6 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     resumed = len(done)
 
     waves_dir = os.path.join(cfg.out_dir, "waves")
-    sr_cols = [f"sr_{v}" for v in ALLOWED_SR]
 
     # Broadcast accepted-violation keys once; waves use it to split true
     # violation counts into known/new BEFORE the exemplar cap, so gate
@@ -205,7 +204,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     ).withColumn("accepted", F.lit(True))
 
     # --- stages 3-4 per wave
-    for wi, wave in enumerate(_chunks(todo, cfg.wave_size)):
+    for wave in _chunks(todo, cfg.wave_size):
         wave_id = hashlib.sha1("|".join(wave).encode()).hexdigest()[:12]
         wave_path = os.path.join(waves_dir, f"wave-{wave_id}")
         wave_clips = clips.filter(F.col("part").isin(wave))
