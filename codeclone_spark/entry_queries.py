@@ -688,6 +688,17 @@ _SHINGLE_SQL = r"""
 
 _H60_SQL = "('0x' || substr(md5('{seed}' || shingle), 1, 15))::UBIGINT"
 
+# MinHash universal-hash family (mirrors dd.minhash_signatures): one
+# md5-derived 32-bit base hash + affine transforms with literal constants.
+_MH_BASE_SQL = "(('0x' || substr(md5(shingle), 1, 8))::UBIGINT)::BIGINT"
+
+
+def _mh_mins_sql() -> str:
+    return ", ".join(
+        f"min(({a} * {_MH_BASE_SQL} + {b}) % {dd.MH_PRIME})::BIGINT AS mh{i}"
+        for i, (a, b) in enumerate(dd.mh_constants(dd.MINHASH_K))
+    )
+
 
 def dedup_exact_docs(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
@@ -708,10 +719,10 @@ def dedup_minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
-    mins = ", ".join(
-        f"min({_H60_SQL.format(seed=i)})::BIGINT AS mh{i}" for i in range(dd.MINHASH_K)
+    return (
+        f"WITH sh AS ({_SHINGLE_SQL}) "
+        f"SELECT id, {_mh_mins_sql()} FROM sh GROUP BY id ORDER BY id"
     )
-    return f"WITH sh AS ({_SHINGLE_SQL}) SELECT id, {mins} FROM sh GROUP BY id ORDER BY id"
 
 
 _LSH_MAX_BUCKET = 64  # low enough that the sf0.01 oracle exercises the cap
@@ -725,9 +736,7 @@ def dedup_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _lsh_sql() -> str:
-    mins = ", ".join(
-        f"min({_H60_SQL.format(seed=i)})::BIGINT AS mh{i}" for i in range(dd.MINHASH_K)
-    )
+    mins = _mh_mins_sql()
     n_bands = dd.MINHASH_K // 2
     band_rows = ", ".join(
         f"({b}, mh{2*b}::VARCHAR || '|' || mh{2*b+1}::VARCHAR)" for b in range(n_bands)
@@ -760,9 +769,7 @@ def dedup_lsh_suppressed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _lsh_suppressed_sql() -> str:
-    mins = ", ".join(
-        f"min({_H60_SQL.format(seed=i)})::BIGINT AS mh{i}" for i in range(dd.MINHASH_K)
-    )
+    mins = _mh_mins_sql()
     n_bands = dd.MINHASH_K // 2
     band_rows = ", ".join(
         f"({b}, mh{2*b}::VARCHAR || '|' || mh{2*b+1}::VARCHAR)" for b in range(n_bands)

@@ -3,7 +3,8 @@
 Exact, MinHash(+LSH banding), SimHash, n-gram Jaccard, and embedding-cosine
 near-dup — the standard web-scale dedup ladder.  Design notes per operator:
 
-- Hashing is md5-based (``conv(substr(md5(x),1,15),16,10)`` → 60-bit int)
+- Hashing is md5-derived (SimHash: one 60-bit md5 hash per token; MinHash:
+  one 32-bit md5 base hash per shingle + an affine universal-hash family)
   so every signature is reproducible bit-for-bit in ANSI SQL — the DuckDB
   oracle re-derives MinHash/SimHash signatures independently, which is a far
   stronger correctness check than row counts.
@@ -11,12 +12,15 @@ near-dup — the standard web-scale dedup ladder.  Design notes per operator:
   (``blocks/__init__.py:82-132``: cheap order-insensitive ``segment_sig``
   prunes before the exact ``segment_hash``): LSH band buckets are the cheap
   permissive key, exact Jaccard verification is the expensive key.
-- Shingle explosion is bounded: ``distinct`` before the self-join keeps the
-  inverted index tight; at 100 TB you additionally band by prefix
+- Shingle explosion is bounded: the Jaccard inverted index dedupes shingles
+  (set semantics); MinHash paths skip that shuffle (min() is
+  duplicate-insensitive).  At 100 TB you additionally band by prefix
   (``F.pmod(F.hash(shingle), B)``) to cap reducer fan-in.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -45,25 +49,60 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K) -> DataFrame:
-    """Distinct character k-grams per document: (id, shingle).
-    Built from sequence+transform+explode — pure Catalyst, no UDF."""
+def char_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SHINGLE_K,
+    dedupe: bool = True,
+) -> DataFrame:
+    """Character k-grams per document: (id, shingle).
+    Built from sequence+transform+explode — pure Catalyst, no UDF.
+
+    *dedupe* applies set semantics (a full shuffle).  Jaccard needs it
+    (|A|, |A∩B| are SET sizes); MIN-hash is duplicate-insensitive, so the
+    MinHash/LSH paths pass dedupe=False and skip that shuffle entirely —
+    their one groupBy(id) does the dedup implicitly via min()."""
     positions = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))
     shingles = F.transform(positions, lambda i: F.substring(F.col(text_col), i, F.lit(k)))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("shingle"))
-        .filter(F.length("shingle") == k)
-        .distinct()
-    )
+    out = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")
+    ).filter(F.length("shingle") == k)
+    return out.distinct() if dedupe else out
+
+
+MH_PRIME = (1 << 61) - 1  # Mersenne prime for the affine hash family
+
+
+def mh_constants(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the universal hash family, derived from
+    md5 so there are no magic numbers: a_i odd and < 2^31 (so a*h + b stays
+    under 2^63 for a 32-bit base hash — safe in BIGINT on both engines)."""
+    consts = []
+    for i in range(n_hashes):
+        a = (int(hashlib.md5(f"a{i}".encode()).hexdigest()[:8], 16) & 0x7FFFFFFF) | 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16)
+        consts.append((a, b))
+    return consts
 
 
 def minhash_signatures(
     shingles: DataFrame, n_hashes: int = MINHASH_K
 ) -> DataFrame:
     """(id) -> minhash_i columns. One groupBy computes all K mins
-    (map-side combine keeps the shuffle tiny)."""
+    (map-side combine keeps the shuffle tiny).
+
+    Permutations are the standard universal-hash construction (Broder):
+    ONE md5-derived 32-bit base hash per shingle, then K affine transforms
+    ``mh_i = min((a_i*h + b_i) mod (2^61-1))``.  K independent md5 calls
+    would cost K× the hashing AND blow up the generated aggregate code —
+    Janino compilation of that codegen unit dominated the whole query.
+    Still reproducible bit-for-bit in ANSI SQL (the constants are plain
+    integer literals on both sides)."""
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
     aggs = [
-        F.min(h60(F.col("shingle"), seed=i)).alias(f"mh{i}") for i in range(n_hashes)
+        F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(MH_PRIME))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(mh_constants(n_hashes))
     ]
     return shingles.groupBy("id").agg(*aggs)
 
@@ -73,7 +112,7 @@ def minhash_signature_groups(
 ) -> DataFrame:
     """Near-dup groups = identical full MinHash signature (high-precision
     variant; LSH banding below is the high-recall variant)."""
-    sigs = minhash_signatures(char_shingles(df, id_col, text_col, k), n_hashes)
+    sigs = minhash_signatures(char_shingles(df, id_col, text_col, k, dedupe=False), n_hashes)
     sig_key = F.concat_ws("|", *[F.col(f"mh{i}").cast("string") for i in range(n_hashes)])
     return (
         sigs.select(F.col("id"), sig_key.alias("signature"))
@@ -92,7 +131,7 @@ def _banded_signatures(
     band_size: int,
 ) -> DataFrame:
     """(id, band, key) rows: MinHash signature split into LSH bands."""
-    sigs = minhash_signatures(char_shingles(df, id_col, text_col, k), n_hashes)
+    sigs = minhash_signatures(char_shingles(df, id_col, text_col, k, dedupe=False), n_hashes)
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -137,12 +176,25 @@ def lsh_candidate_pairs(
     group), better handled by the exact pass than by a quadratic join."""
     banded = _banded_signatures(df, id_col, text_col, k, n_hashes, band_size)
     if max_bucket is not None:
-        sizes = (
-            banded.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("_bsz"))
+        # window count over the SAME (band, key) shuffle the self-join
+        # needs — no second aggregation branch, no join against sizes
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
             .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
         )
-        banded = banded.join(sizes, ["band", "key"]).drop("_bsz")
+    # Materialize the banded keys once (eager local checkpoint): a
+    # self-join's two branches do NOT share exchanges here (the Window's
+    # expr-ids defeat ReusedExchange), so without this the whole
+    # shingle+MinHash pipeline — the expensive part — computes twice.
+    # banded is tiny (rows = docs x n_bands, three narrow columns); blocks
+    # are executor-local and freed by the ContextCleaner.  At production
+    # scale the same idea is "write the signature table once, reuse it for
+    # banding AND verify" (reference two-level key discipline).
+    banded = banded.localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
