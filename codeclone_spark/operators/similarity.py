@@ -27,13 +27,21 @@ N_PLANES = 12
 
 
 def dot_lit(vec_col: Column, q: list[float]) -> Column:
-    """dot(vec, literal query) as an unrolled sum — no array zip needed,
-    constant-folded by Catalyst."""
-    expr = None
-    for i, qi in enumerate(q):
-        term = F.element_at(vec_col, i + 1) * float(qi)
-        expr = term if expr is None else expr + term
-    return expr
+    """dot(vec, literal weights) as a fold over a constant array.
+
+    The weights become ONE folded array literal and the sum runs as a
+    higher-order aggregate — same left-to-right fp summation order as an
+    unrolled ``v0*q0 + v1*q1 + ...`` (the 0.0 seed is exact), so results
+    are bit-identical to the oracle's list_dot_product, but the expression
+    tree stays O(1) in dim.  The unrolled form generated O(dim) code per
+    use; with 8 planes x 64 dims Catalyst analysis + Janino compilation of
+    those trees dominated whole queries (~15 s per fresh plan)."""
+    warr = F.array(*[F.lit(float(x)) for x in q])
+    return F.aggregate(
+        F.zip_with(vec_col, warr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def norm(vec_col: Column) -> Column:
