@@ -298,29 +298,37 @@ def _hist_expr(col: str, edges: list[float]) -> Column:
     return F.array(*buckets)
 
 
-def _qsketch_expr(col: str) -> Column:
-    """Quantile-sketch partial: array<long> of QSK_NBINS uniform-bin counts
-    (last bin = overflow).  Element-wise summable across partitions/waves."""
-    bin_idx = F.least(
+def qsk_bin(col: str) -> Column:
+    """Quantile-sketch bin index for a non-negative duration (last bin =
+    overflow); null for null/negative values (excluded from the sketch).
+    The sketch itself is aggregated as groupBy(part, bin).count() — one
+    array<long> of QSK_NBINS counts per partition after the driver-side
+    reshape — NOT as QSK_NBINS separate aggregate expressions: that shape
+    generated so much code that Janino compilation (~5 s per fresh plan)
+    dwarfed the actual aggregation (~0.3 s)."""
+    idx = F.least(
         (F.col(col).cast("long") / QSK_BIN_MS).cast("int"),
         F.lit(QSK_NBINS - 1),
     )
-    buckets = [
-        F.sum(
-            F.when(
-                F.col(col).isNotNull() & (F.col(col) >= 0) & (bin_idx == i),
-                F.lit(1),
-            ).otherwise(F.lit(0))
-        )
-        for i in range(QSK_NBINS)
-    ]
-    return F.array(*buckets)
+    return F.when(F.col(col).isNotNull() & (F.col(col) >= 0), idx)
+
+
+def qsketch_counts(facts: DataFrame) -> DataFrame:
+    """(part, bin, n) sketch partials — mergeable by summing counts."""
+    return (
+        facts.select("part", qsk_bin("dur_ms").alias("bin"))
+        .filter(F.col("bin").isNotNull())
+        .groupBy("part", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def partition_aggregates(facts: DataFrame) -> DataFrame:
-    """All per-partition stats in ONE groupBy (partial+final hash agg).
-    Histogram partials are mergeable arrays so drift can be computed from
-    the ledger across resumable waves without rescanning data."""
+    """Per-partition stats in one groupBy (partial+final hash agg); only
+    the fine-grained quantile sketch lives in its own tiny aggregation
+    (:func:`qsketch_counts` — codegen-size reasons).  Histogram partials
+    are mergeable arrays so drift can be computed from the ledger across
+    resumable waves without rescanning data."""
     sr_cats = [F.sum((F.col("sr_hz") == v).cast("long")).alias(f"sr_{v}") for v in ALLOWED_SR]
     return facts.groupBy("part").agg(
         F.count(F.lit(1)).alias("rows"),
@@ -335,12 +343,12 @@ def partition_aggregates(facts: DataFrame) -> DataFrame:
         F.sum((~F.col("decode_ok")).cast("long")).alias("undecodable"),
         F.approx_count_distinct("clip_id").alias("approx_ndv"),
         _hist_expr("dur_ms", DUR_BIN_EDGES).alias("dur_hist"),
-        # per-partition approx quantiles (Greenwald-Khanna, JVM-side) + the
-        # mergeable sketch that yields TABLE-level quantiles across waves
+        # per-partition approx quantiles (Greenwald-Khanna, JVM-side); the
+        # mergeable quantile SKETCH is aggregated separately (see
+        # qsketch_counts) to keep this plan's codegen unit small
         F.percentile_approx(
             "dur_ms", [0.5, 0.95, 0.99], 10_000  # type: ignore[arg-type]
         ).alias("dur_q"),
-        _qsketch_expr("dur_ms").alias("dur_qsk"),
         *sr_cats,
     )
 

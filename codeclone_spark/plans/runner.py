@@ -51,6 +51,7 @@ from codeclone_spark.operators.rules import (
     build_verdicts,
     evaluate_row_rules,
     partition_aggregates,
+    qsketch_counts,
     violation_key,
 )
 from codeclone_spark.plans import baseline as bl
@@ -299,6 +300,13 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         _mark("wave_facts_and_row_rules")
 
         aggs = partition_aggregates(facts).collect()
+        # quantile-sketch partials: (part, bin) counts reshaped to the
+        # per-partition array the ledger merges (tiny second aggregation
+        # over the cached facts; see rules.qsk_bin for why it is separate)
+        qsk_by_part: dict[str, list[int]] = {}
+        for r in qsketch_counts(facts).collect():
+            arr = qsk_by_part.setdefault(r["part"], [0] * QSK_NBINS)
+            arr[int(r["bin"])] = int(r["n"])
         _mark("wave_partition_aggs")
         # fold per-rule stats into per-partition ledger fields (driver-side,
         # wave-sized): true counts, suppressed exemplars, stable digest
@@ -346,7 +354,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
                         if d["dur_q"] is not None
                         else None
                     ),
-                    "dur_qsk": [int(x) for x in d["dur_qsk"]],
+                    "dur_qsk": qsk_by_part.get(part, [0] * QSK_NBINS),
                     "sr_counts": {
                         str(v): int(d[f"sr_{v}"]) for v in ALLOWED_SR
                     },
