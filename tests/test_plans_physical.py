@@ -132,3 +132,16 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bk_left")
         spark.sql("DROP TABLE IF EXISTS t_bk_right")
+
+
+def test_text_queries_prune_document_columns(spark):
+    """Text/dedup operators over `documents` must read only the columns
+    they use (ReadSchema pruned to doc_id/text), not the whole table."""
+    from codeclone_spark.operators import dedup as dd
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert len(d.columns) > 2  # the pruning claim is non-trivial
+    sigs = dd.minhash_signatures(dd.char_shingles(d, "doc_id", "text", dedupe=False))
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan and "ReadSchema: struct<doc_id:bigint,text:string>" in scan[0], scan
