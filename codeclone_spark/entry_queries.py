@@ -725,7 +725,7 @@ def _minhash_sql() -> str:
     )
 
 
-_LSH_MAX_BUCKET = 64  # low enough that the sf0.01 oracle exercises the cap
+_LSH_MAX_BUCKET = 40  # below the sf0.01 max bucket (60) so the oracle exercises the cap
 
 
 def dedup_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
