@@ -338,7 +338,7 @@ def events_null_rate(spark: SparkSession, sf: str) -> DataFrame:
 
 EVENTS_NULL_SQL = """
 SELECT event_type, count(*) AS rows,
-       sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
        CAST((sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) * 1000000)
             // count(*) AS BIGINT) AS null_ppm
 FROM events GROUP BY event_type ORDER BY event_type
@@ -1059,7 +1059,7 @@ def clips_stats_by_part(spark: SparkSession, sf: str) -> DataFrame:
 
 CLIPS_STATS_SQL = f"""
 SELECT part, count(*) AS rows,
-       sum(CASE WHEN dur_ms IS NULL THEN 1 ELSE 0 END) AS dur_null,
+       CAST(sum(CASE WHEN dur_ms IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dur_null,
        min(dur_ms) AS dur_min, max(dur_ms) AS dur_max,
        CAST((sum(CAST(dur_ms AS BIGINT)) * 10000)
             // greatest(count(dur_ms), 1) AS BIGINT) AS dur_mean_e4
