@@ -91,13 +91,12 @@ def main() -> None:
     # -- warm scenarios (reference comparisons.warm_full_speedup_vs_cold_full):
     # 1) kill-at-50% resume: forget half the ledger entries, re-run — only
     #    the forgotten partitions are re-decoded (scan-level pruning).
-    led_path = os.path.join(out_dir, "ledger.json")
-    with open(led_path) as f:
-        led = json.load(f)
-    items = sorted(led["partitions"].items())
-    led_half = {**led, "partitions": dict(items[: len(items) // 2])}
-    with open(led_path, "w") as f:
-        json.dump(led_half, f)
+    from codeclone_spark.plans.ledger import Ledger
+
+    led = Ledger(os.path.join(out_dir, "ledger"))
+    parts = sorted(led.partitions)
+    led.forget(parts[len(parts) // 2 :])
+    led.save(tag="bench-forget")
     t0 = time.monotonic()
     res_half = run(spark, RunConfig(data_dir=data_dir, out_dir=out_dir, gating=False))
     timings["validation_resume_half"] = round(time.monotonic() - t0, 3)

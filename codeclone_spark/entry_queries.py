@@ -1018,19 +1018,32 @@ def stream_dedup_updates(spark: SparkSession, sf: str) -> DataFrame:
 
     from codeclone_spark.streaming.stateful import run_stream_dedup
 
+    import shutil
+
     data_dir = clips_dir_for(sf)
     tmp = tempfile.mkdtemp(prefix="ccspark_stream_dedup_")
     out, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
-    q = run_stream_dedup(
-        spark, f"{data_dir}/clips/*", out, ckpt, max_files_per_trigger=8
-    )
-    q.awaitTermination(600)
-    return (
-        spark.read.parquet(out)
-        .groupBy("is_duplicate")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("is_duplicate")
-    )
+    try:
+        q = run_stream_dedup(
+            spark, f"{data_dir}/clips/*", out, ckpt, max_files_per_trigger=8
+        )
+        if not q.awaitTermination(600):
+            # timed out: the output dir is incomplete — partial counts would
+            # be silently wrong, so stop the query and fail loudly
+            q.stop()
+            raise TimeoutError("stream_dedup_updates: stream did not finish in 600s")
+        rows = (
+            spark.read.parquet(out)
+            .groupBy("is_duplicate")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("is_duplicate")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # tiny (<=2 rows): re-materialize so the returned frame outlives the
+    # scratch dir cleanup
+    return spark.createDataFrame(rows, "is_duplicate boolean, n long")
 
 
 # ================================================== audio clips (synth) ----

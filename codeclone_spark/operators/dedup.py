@@ -165,42 +165,37 @@ def lsh_candidate_pairs(
     band_size: int = 2,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """MinHash-LSH: band the signature, bucket-join within bands, emit
-    distinct candidate pairs (a < b).  Shuffle keys are (band_idx, band_key)
-    — uniform for genuine near-dups, but a degenerate key (e.g. boilerplate
+    """MinHash-LSH: band the signature, bucket within bands, emit distinct
+    candidate pairs (a < b).  Shuffle keys are (band_idx, band_key) —
+    uniform for genuine near-dups, but a degenerate key (e.g. boilerplate
     text shared by d documents) would emit d^2/2 pairs, so buckets larger
-    than *max_bucket* are dropped before the self-join (caps as
+    than *max_bucket* are dropped before pair generation (caps as
     backpressure, reference SURVEY §2.8).  Use
     :func:`lsh_suppressed_buckets` with the SAME arguments to report what
     was suppressed — a hot bucket is itself a dedup finding (one exact-dup
-    group), better handled by the exact pass than by a quadratic join."""
-    banded = _banded_signatures(df, id_col, text_col, k, n_hashes, band_size)
-    if max_bucket is not None:
-        # window count over the SAME (band, key) shuffle the self-join
-        # needs — no second aggregation branch, no join against sizes
-        from pyspark.sql.window import Window
+    group), better handled by the exact pass than by a quadratic join.
 
-        w = Window.partitionBy("band", "key")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
-        )
-    # Materialize the banded keys once (eager local checkpoint): a
-    # self-join's two branches do NOT share exchanges here (the Window's
-    # expr-ids defeat ReusedExchange), so without this the whole
-    # shingle+MinHash pipeline — the expensive part — computes twice.
-    # banded is tiny (rows = docs x n_bands, three narrow columns); blocks
-    # are executor-local and freed by the ContextCleaner.  At production
-    # scale the same idea is "write the signature table once, reuse it for
-    # banding AND verify" (reference two-level key discipline).
-    banded = banded.localCheckpoint()
-    a = banded.alias("a")
-    b = banded.alias("b")
+    Plan shape: ONE shuffle (groupBy band+key with map-side combine into
+    bounded id arrays — the cap bounds every array at *max_bucket*), then
+    pairs unfold from each bucket via a double explode.  The expensive
+    shingle+MinHash pipeline is consumed exactly once BY CONSTRUCTION — no
+    self-join, so no localCheckpoint / scratch-table materialization, full
+    recompute lineage on executor loss, and no Window pre-pass (the size
+    filter rides the same aggregation).  This is the 100 TB shape: the wide
+    ops are the signature fold, the capped bucket shuffle, and the final
+    pair distinct — no join exchanges anywhere."""
+    banded = _banded_signatures(df, id_col, text_col, k, n_hashes, band_size)
+    buckets = banded.groupBy("band", "key").agg(
+        F.collect_list("id").alias("ids")
+    )
+    keep = F.size("ids") > 1
+    if max_bucket is not None:
+        keep = keep & (F.size("ids") <= max_bucket)
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.filter(keep)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 

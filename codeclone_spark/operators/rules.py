@@ -476,7 +476,12 @@ def build_verdicts(
     )
     novelty = F.when(F.col("n_new") > 0, F.lit("new")).otherwise(F.lit("known"))
     if test_lane:
-        in_lane = F.col("partition").isin(sorted(test_lane))
+        # Table-scope rules (uniq:clip_id) are attributed to min(part) only
+        # for reporting; a duplicate group can span lane and production
+        # partitions, so the lane pass-through must never apply to them.
+        in_lane = F.col("partition").isin(sorted(test_lane)) & ~F.col(
+            "rule_id"
+        ).isin(TABLE_RULE_IDS)
         reason = F.when(
             in_lane & ~passed,
             F.concat(F.lit("test-lane (informational): "), reason),

@@ -16,6 +16,15 @@ Shape (FIXTURES.md §3)::
     histograms: {dur_ms: {bin_edges, counts}, sr_hz: {values, counts}}
     uniqueness: {clip_id_approx_ndv, clip_id_exact_dup_groups}
     accepted_violations: [violation_key, ...]
+    accepted_ref: {} | {path, count, sha256}   (schema minor >= 2)
+
+Accepted-set scaling: inline ``accepted_violations`` is right up to ~10^4
+keys (driver-broadcast anti-join).  Past that the keys live in a parquet
+SIDE TABLE next to the baseline file (``accepted_ref`` — written by Spark
+as one sorted partition, never materialized on the driver) and the runner
+anti-joins it distributively.  Trust for the sidecar = count + streamed
+sha256 over the sorted key stream (pyarrow batch iteration, bounded driver
+memory).
 
 Drift math (KS / PSI) runs on the tiny collected histogram frames on the
 driver — never a distributed op; the distributed part is the mergeable
@@ -61,6 +70,7 @@ def write_baseline(
     accepted_violations: list[str],
     created_at: str = DEFAULT_CREATED_AT,
     schema: dict[str, Any] | None = None,
+    accepted_ref: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     payload = {
         "stats": stats,
@@ -69,6 +79,8 @@ def write_baseline(
         "accepted_violations": sorted(accepted_violations),
         # table schema snapshot for evolution diffs ({columns, partition_keys})
         "schema": schema or {},
+        # large accepted sets live in a parquet side table (see module doc)
+        "accepted_ref": accepted_ref or {},
     }
     doc = {
         "meta": {
@@ -158,6 +170,8 @@ def load_baseline(path: str) -> tuple[dict[str, Any] | None, Trust]:
     required = ["stats", "histograms", "uniqueness", "accepted_violations"]
     if got[1] >= 1:
         required.append("schema")
+    if got[1] >= 2:
+        required.append("accepted_ref")
     if any(k not in doc for k in required):
         return doc, Trust(False, "baseline payload keys missing")
     payload = {k: doc[k] for k in required}
@@ -168,7 +182,120 @@ def load_baseline(path: str) -> tuple[dict[str, Any] | None, Trust]:
     acc = doc["accepted_violations"]
     if not isinstance(acc, list) or any(not _valid_vkey(k) for k in acc):
         return doc, Trust(False, "accepted_violations key shape invalid")
+    ref = doc.get("accepted_ref") or {}
+    if ref:
+        ok, reason = _verify_accepted_ref(path, ref)
+        if not ok:
+            return doc, Trust(False, reason)
     return doc, Trust(True, "ok")
+
+
+# ------------------------------------------------- accepted-set side table --
+def sidecar_stream_sha(keys) -> str:
+    """Identity of a sorted accepted-key stream: sha256 folded over
+    ``key + '\\n'`` per key.  Computable incrementally (pyarrow batches on
+    the driver, mapPartitions on an executor) without materializing the set."""
+    h = hashlib.sha256()
+    for k in keys:
+        h.update(k.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def accepted_sidecar_name(baseline_path: str) -> str:
+    return os.path.basename(baseline_path) + ".accepted.parquet"
+
+
+def write_accepted_sidecar(keys_df: Any, baseline_path: str) -> dict[str, Any]:
+    """Write the accepted-violation keys as a sorted single-partition parquet
+    side table next to the baseline and return its ``accepted_ref`` dict.
+
+    The keys never touch the driver: the sort+write and the (count, sha)
+    fold both run executor-side (the fold via mapPartitions over the
+    written, re-sorted single partition — reference contrast:
+    clone_baseline.py persists accepted groups inline because its sets are
+    small by construction; a 10^12-row table's debt set is not).
+    """
+    from pyspark.sql import functions as F  # lazy: keep module driver-pure
+
+    spark = keys_df.sparkSession
+    rel = accepted_sidecar_name(baseline_path)
+    out = os.path.join(os.path.dirname(baseline_path) or ".", rel)
+    (
+        keys_df.select(F.col("vkey").cast("string"))
+        .distinct()
+        .repartition(1)
+        .sortWithinPartitions("vkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    # fold (count, sha) over what was actually written, executor-side with
+    # O(1) memory (the iterator never materializes)
+    def _fold(it):
+        h = hashlib.sha256()
+        n = 0
+        for r in it:
+            h.update(r["vkey"].encode())
+            h.update(b"\n")
+            n += 1
+        yield (n, h.hexdigest())
+
+    folded = (
+        spark.read.parquet(out)
+        .coalesce(1)
+        .sortWithinPartitions("vkey")
+        .rdd.mapPartitions(_fold)
+        .collect()
+    )
+    n, sha = folded[0] if folded else (0, sidecar_stream_sha(iter(())))
+    return {"path": rel, "count": int(n), "sha256": sha}
+
+
+def _sidecar_files(root: str) -> list[str]:
+    files = []
+    for dirpath, _dirs, names in os.walk(root):
+        for n in sorted(names):
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                files.append(os.path.join(dirpath, n))
+    return sorted(files)
+
+
+def _verify_accepted_ref(
+    baseline_path: str, ref: dict[str, Any]
+) -> tuple[bool, str]:
+    """Trust probe for the accepted-set side table: bounded-shape fields, a
+    path confined to the baseline's directory, and a streamed count+sha256
+    re-computation (pyarrow batch iteration — O(n) IO, O(batch) memory)."""
+    rel = ref.get("path")
+    if (
+        not isinstance(rel, str)
+        or os.path.isabs(rel)
+        or ".." in rel.split(os.sep)
+        or not isinstance(ref.get("count"), int)
+        or not isinstance(ref.get("sha256"), str)
+    ):
+        return False, "accepted_ref shape invalid"
+    root = os.path.join(os.path.dirname(baseline_path) or ".", rel)
+    if not os.path.isdir(root):
+        return False, "accepted_ref side table missing"
+    try:
+        import pyarrow.parquet as pq
+
+        h = hashlib.sha256()
+        n = 0
+        for fp in _sidecar_files(root):
+            for batch in pq.ParquetFile(fp).iter_batches(columns=["vkey"]):
+                for k in batch.column(0).to_pylist():
+                    if not _valid_vkey(k):
+                        return False, "accepted_ref key shape invalid"
+                    h.update(k.encode())
+                    h.update(b"\n")
+                    n += 1
+    except Exception as e:  # unreadable/corrupt sidecar = untrusted
+        return False, f"accepted_ref unreadable: {e}"
+    if n != ref["count"] or not hmac.compare_digest(h.hexdigest(), ref["sha256"]):
+        return False, "accepted_ref digest mismatch (tampered side table)"
+    return True, "ok"
 
 
 # ------------------------------------------------------------------ drift --

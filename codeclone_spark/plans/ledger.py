@@ -9,50 +9,160 @@ reference ``_atomic_write_json`` clone_baseline.py:394-400); a re-run prunes
 done partitions at the SCAN level (partition-column filter → zero bytes read)
 and converges to identical final outputs.
 
+Layout: a DIRECTORY of append-only segment files, one per wave commit —
+``ledger/segment-<seq>-<tag>.jsonl``.  Each ``save()`` writes ONLY the
+entries recorded since the last save (O(wave), not O(all partitions)); a
+load unions the segments in sequence order, later entries overriding
+earlier ones.  At 10^6 partitions the per-wave commit cost is therefore
+bounded by wave size, and a crashed run leaves only whole, atomically
+renamed segments behind.  ``forget()`` appends tombstone records instead of
+rewriting history (the same mechanism invalidation uses).
+
+Entries carry two validity signatures checked on resume:
+
+- ``data_sig`` — a fold of the partition's data files' (name, size,
+  mtime_ns), the reference's cache content-signature probe
+  (``core/discovery.py:118-190``, ``core/worker.py:75-78``).  For Iceberg
+  tables the caller passes the snapshot id instead (``sources/iceberg.py``).
+  A partition whose data changed after its entry was written is re-validated.
+- ``baseline_sha`` — hash of the accepted-violation set the entry's
+  known/new split (``rule_counts``) was computed against.  If the baseline
+  changes between runs sharing an out_dir, the persisted split is stale
+  (removed keys would stay "known" and fail open); such entries are treated
+  as not-done and re-derived.
+
 Partials stored per partition are MERGEABLE (counts, sums, min/max, histogram
 arrays) so table-level stats/drift never rescan completed partitions.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
-from typing import Any
+from typing import Any, Iterable
 
 from codeclone_spark import LEDGER_SCHEMA_VERSION
 
+_SEG_PREFIX = "segment-"
+
+
+def partition_data_signature(clips_root: str, part: str) -> str:
+    """Content signature of one hive partition directory: sha-fold of the
+    sorted (file name, size, mtime_ns) triples of its data files.  Pure
+    driver-side metadata (os.scandir — the local analog of reading an
+    Iceberg partition manifest; with a real catalog the snapshot id serves
+    instead, see sources/iceberg.py:54)."""
+    pdir = os.path.join(clips_root, f"part={part}")
+    triples = []
+    try:
+        with os.scandir(pdir) as it:
+            for de in it:
+                if de.name.startswith((".", "_")):
+                    continue  # _SUCCESS markers, hidden/tmp files
+                st = de.stat()
+                triples.append(f"{de.name}|{st.st_size}|{st.st_mtime_ns}")
+    except FileNotFoundError:
+        return "absent"
+    h = hashlib.sha256("\n".join(sorted(triples)).encode())
+    return h.hexdigest()[:16]
+
+
+def accepted_set_sha(accepted: Iterable[str]) -> str:
+    """Identity of the accepted-violation set a known/new split was computed
+    against (order-insensitive)."""
+    h = hashlib.sha256("\n".join(sorted(accepted)).encode())
+    return h.hexdigest()[:16]
+
 
 class Ledger:
-    def __init__(self, path: str):
-        self.path = path
-        self.doc: dict[str, Any] = {
-            "ledger_schema_version": LEDGER_SCHEMA_VERSION,
-            "partitions": {},
-        }
-        if os.path.exists(path):
-            with open(path) as f:
-                doc = json.load(f)
-            if doc.get("ledger_schema_version") == LEDGER_SCHEMA_VERSION:
-                self.doc = doc
+    """Segmented checkpoint ledger rooted at a directory.
 
-    @property
-    def partitions(self) -> dict[str, dict[str, Any]]:
-        return self.doc["partitions"]
+    ``record()`` buffers entries; ``save()`` durably commits the buffer as
+    one new segment (atomic rename).  Loading replays segments in sequence
+    order.
+    """
 
-    def done_parts(self) -> set[str]:
-        return {
-            p for p, e in self.partitions.items() if e.get("status") == "done"
-        }
+    def __init__(self, root: str):
+        self.root = root
+        self.partitions: dict[str, dict[str, Any]] = {}
+        self._pending: dict[str, dict[str, Any] | None] = {}
+        self._next_seq = 0
+        if os.path.isdir(root):
+            for name in sorted(os.listdir(root)):
+                if not (name.startswith(_SEG_PREFIX) and name.endswith(".jsonl")):
+                    continue
+                seq = int(name[len(_SEG_PREFIX):].split("-", 1)[0])
+                self._next_seq = max(self._next_seq, seq + 1)
+                with open(os.path.join(root, name)) as f:
+                    header = json.loads(f.readline())
+                    if header.get("ledger_schema_version") != LEDGER_SCHEMA_VERSION:
+                        continue  # incompatible segment: ignore wholesale
+                    for line in f:
+                        rec = json.loads(line)
+                        if rec.get("tombstone"):
+                            self.partitions.pop(rec["part"], None)
+                        else:
+                            self.partitions[rec["part"]] = rec["entry"]
+
+    def done_parts(
+        self,
+        data_sigs: dict[str, str] | None = None,
+        baseline_sha: str | None = None,
+    ) -> set[str]:
+        """Partitions safe to skip: status done AND (when signatures are
+        supplied) both the data signature and the baseline identity still
+        match what the entry was computed against.  Entries written before
+        signatures existed (no data_sig field) are conservatively re-run
+        when a signature check is requested."""
+        out = set()
+        for p, e in self.partitions.items():
+            if e.get("status") != "done":
+                continue
+            if data_sigs is not None and e.get("data_sig") != data_sigs.get(p):
+                continue
+            if baseline_sha is not None and e.get("baseline_sha") != baseline_sha:
+                continue
+            out.add(p)
+        return out
 
     def record(self, part: str, entry: dict[str, Any]) -> None:
-        self.partitions[part] = {"status": "done", **entry}
+        full = {"status": "done", **entry}
+        self.partitions[part] = full
+        self._pending[part] = full
 
-    def save(self) -> None:
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        tmp = self.path + ".tmp"
+    def forget(self, parts: Iterable[str]) -> None:
+        """Invalidate entries via tombstones (used by tests/bench to model a
+        crash, and available for operational cache-busting)."""
+        for p in parts:
+            self.partitions.pop(p, None)
+            self._pending[p] = None
+
+    def save(self, tag: str = "wave") -> None:
+        """Durably commit pending entries as ONE new segment — O(pending),
+        independent of how many partitions are already done."""
+        if not self._pending:
+            return
+        os.makedirs(self.root, exist_ok=True)
+        name = f"{_SEG_PREFIX}{self._next_seq:06d}-{tag}.jsonl"
+        tmp = os.path.join(self.root, f".{name}.tmp")
         with open(tmp, "w") as f:
-            json.dump(self.doc, f, sort_keys=True, indent=1)
-        os.replace(tmp, self.path)
+            f.write(
+                json.dumps({"ledger_schema_version": LEDGER_SCHEMA_VERSION})
+                + "\n"
+            )
+            for p in sorted(self._pending):
+                e = self._pending[p]
+                if e is None:
+                    f.write(json.dumps({"part": p, "tombstone": True}) + "\n")
+                else:
+                    f.write(
+                        json.dumps({"part": p, "entry": e}, sort_keys=True)
+                        + "\n"
+                    )
+        os.replace(tmp, os.path.join(self.root, name))
+        self._next_seq += 1
+        self._pending = {}
 
 
 def merge_partials(entries: list[dict[str, Any]]) -> dict[str, Any]:

@@ -66,7 +66,12 @@ from codeclone_spark.plans.facts import (
     read_fixtures_pcm,
     suspect_filter,
 )
-from codeclone_spark.plans.ledger import Ledger, merge_partials
+from codeclone_spark.plans.ledger import (
+    Ledger,
+    accepted_set_sha,
+    merge_partials,
+    partition_data_signature,
+)
 
 TABLE_SCOPE = "<table>"
 
@@ -99,6 +104,11 @@ class RunConfig:
     # §2.8).  --update-baseline bypasses the cap so accepted keys stay
     # complete.
     exemplar_cap: int = 10_000
+    # --update-baseline: accepted sets up to this size are inlined in the
+    # baseline JSON (broadcast-join shape); larger sets are written as a
+    # sorted parquet side table next to the baseline and anti-joined
+    # distributively — the keys never materialize on the driver.
+    accepted_inline_max: int = 10_000
     gates: GateConfig = field(default_factory=GateConfig)
     created_at: str = bl.DEFAULT_CREATED_AT
 
@@ -139,8 +149,32 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         phases[name] = round(phases.get(name, 0.0) + (now - _last[0]), 3)
         _last[0] = now
 
+    # --- suppression directives parse + validate up front: a malformed or
+    # ill-scoped directive must fail before any cluster compute is spent
+    directives: list[tuple[str, str]] = []
+    if cfg.suppressions:
+        import re as _re
+
+        from codeclone_spark.operators.rules import TABLE_RULE_IDS
+
+        for s in cfg.suppressions:
+            # rule ids contain ':' themselves — split on the LAST colon
+            rid, _, part = s.rpartition(":")
+            if not rid or not part or not _re.match(r"^[A-Za-z0-9:_\-]+$", rid):
+                raise ValueError(f"malformed suppression {s!r} (rule_id:partition)")
+            # Partition-scoped directives never match table-scope rules:
+            # uniq:clip_id is attributed to min(part) for reporting only, so
+            # "uniq:clip_id:<part>" would suppress dup groups spanning OTHER
+            # partitions.  Only the '*' wildcard may suppress them.
+            if part != "*" and rid in TABLE_RULE_IDS:
+                raise ValueError(
+                    f"suppression {rid}:{part}: table-scope rules accept "
+                    "only the '*' partition"
+                )
+            directives.append((rid, part))
+
     os.makedirs(cfg.out_dir, exist_ok=True)
-    ledger = Ledger(os.path.join(cfg.out_dir, "ledger.json"))
+    ledger = Ledger(os.path.join(cfg.out_dir, "ledger"))
 
     # --- stage 5a: baseline trust (checked BEFORE compute: fail-closed must
     # not waste a cluster run; reference baseline_state.py:138-170)
@@ -164,6 +198,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
                 warnings.append(f"untrusted baseline ({trust.reason}): degraded")
                 snapshot = None
     accepted = sorted((snapshot or {}).get("accepted_violations", []))
+    accepted_ref = (snapshot or {}).get("accepted_ref") or {}
 
     from codeclone_spark.sources import validate_clips_schema, validate_data_dir
 
@@ -190,19 +225,46 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         all_parts = sorted(
             r["part"] for r in clips.select("part").distinct().collect()
         )
+    # Resume validity = ledger entry exists AND the partition's data
+    # signature still matches AND the entry's known/new split was computed
+    # against the SAME accepted set (reference cache-probe semantics,
+    # core/discovery.py:118-190: a cache hit requires the content signature
+    # to match, not just the key to exist).
+    data_sigs = {p: partition_data_signature(clips_root, p) for p in all_parts}
+    # Baseline identity for the ledger's known/new split validity: sidecar
+    # baselines carry their own streamed sha, inline sets hash here.
+    accepted_sha = (
+        accepted_ref["sha256"][:16] if accepted_ref else accepted_set_sha(accepted)
+    )
     _mark("discovery")
-    done = ledger.done_parts() & set(all_parts)
+    done = ledger.done_parts(data_sigs, accepted_sha) & set(all_parts)
     todo = [p for p in all_parts if p not in done]
     resumed = len(done)
 
     waves_dir = os.path.join(cfg.out_dir, "waves")
 
-    # Broadcast accepted-violation keys once; waves use it to split true
-    # violation counts into known/new BEFORE the exemplar cap, so gate
-    # arithmetic never sees truncated counts (stage 5b reuses it).
-    acc_df = spark.createDataFrame(
-        [(k,) for k in accepted] or [("\x00never",)], ["vkey"]
-    ).withColumn("accepted", F.lit(True))
+    # Accepted-violation keys join once per wave to split true violation
+    # counts into known/new BEFORE the exemplar cap, so gate arithmetic
+    # never sees truncated counts (stage 5b reuses it).  Inline sets are a
+    # driver-literal broadcast; sidecar sets (large debt) are a parquet scan
+    # joined distributively — the keys never materialize on the driver.
+    if accepted_ref:
+        acc_df = (
+            spark.read.parquet(
+                os.path.join(
+                    os.path.dirname(cfg.baseline_path) or ".",
+                    accepted_ref["path"],
+                )
+            )
+            .select("vkey")
+            .withColumn("accepted", F.lit(True))
+        )
+    else:
+        acc_df = F.broadcast(
+            spark.createDataFrame(
+                [(k,) for k in accepted] or [("\x00never",)], ["vkey"]
+            ).withColumn("accepted", F.lit(True))
+        )
 
     # --- stages 3-4 per wave
     for wave in _chunks(todo, cfg.wave_size):
@@ -250,9 +312,12 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         # frame in the same pass as the exemplar digest, so gate verdicts,
         # report totals and ledger metrics never see truncated numbers.
         # --update-baseline bypasses the cap: accepted keys must be complete.
-        cap = None if cfg.update_baseline else cfg.exemplar_cap
+        # cap in (0, None) = capping disabled (0 kept its historical
+        # "uncapped" meaning; a run that truly wants zero exemplar rows
+        # should post-filter the violations output, not zero the cap)
+        cap = None if (cfg.update_baseline or not cfg.exemplar_cap) else cfg.exemplar_cap
         viol = viol.withColumn("vkey", violation_key(viol)).join(
-            F.broadcast(acc_df), "vkey", "left"
+            acc_df, "vkey", "left"
         )
         w = Window.partitionBy("rule_id", "partition").orderBy(
             "clip_id", "observed"
@@ -340,6 +405,8 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
                 part,
                 {
                     "wave": f"wave-{wave_id}",
+                    "data_sig": data_sigs.get(part, "absent"),
+                    "baseline_sha": accepted_sha,
                     "rows": d["rows"],
                     "dur_null": d["dur_null"],
                     "transcript_null": d["transcript_null"],
@@ -374,6 +441,8 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
                     part,
                     {
                         "wave": f"wave-{wave_id}",
+                        "data_sig": data_sigs.get(part, "absent"),
+                        "baseline_sha": accepted_sha,
                         "rows": 0,
                         "dur_null": 0,
                         "transcript_null": 0,
@@ -455,7 +524,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     keyed = all_viol.withColumn("vkey", violation_key(all_viol))
     uniq_keyed = uniq_viol.withColumn("vkey", violation_key(uniq_viol))
     uniq_counts = (
-        uniq_keyed.join(F.broadcast(acc_df), "vkey", "left")
+        uniq_keyed.join(acc_df, "vkey", "left")
         .groupBy("partition", "rule_id")
         .agg(
             F.count(F.lit(1)).alias("n_viol"),
@@ -494,16 +563,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     # --- suppression directives: zero n_new for matching (rule, partition)
     # pairs (gate-level allowlist; the violation rows stay in the output)
     n_suppressed_directive = 0
-    if cfg.suppressions:
-        import re as _re
-
-        directives = []
-        for s in cfg.suppressions:
-            # rule ids contain ':' themselves — split on the LAST colon
-            rid, _, part = s.rpartition(":")
-            if not rid or not part or not _re.match(r"^[A-Za-z0-9:_\-]+$", rid):
-                raise ValueError(f"malformed suppression {s!r} (rule_id:partition)")
-            directives.append((rid, part))
+    if directives:
         match = None
         for rid, part in directives:
             m = (F.col("rule_id") == rid) & (
@@ -791,10 +851,18 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     # --- baseline update mode (§3.2: explicit governance action; gates not
     # enforced against the snapshot just written)
     if cfg.update_baseline and cfg.baseline_path:
-        all_keys = [
-            r["vkey"]
-            for r in keyed.select("vkey").distinct().orderBy("vkey").collect()
-        ]
+        distinct_keys = keyed.select("vkey").distinct()
+        n_keys = distinct_keys.count()
+        if n_keys > cfg.accepted_inline_max:
+            # large debt set: sorted parquet side table, written and
+            # digest-folded entirely executor-side (never O(keys) driver)
+            ref = bl.write_accepted_sidecar(distinct_keys, cfg.baseline_path)
+            all_keys: list[str] = []
+        else:
+            ref = None
+            all_keys = [
+                r["vkey"] for r in distinct_keys.orderBy("vkey").collect()
+            ]
         bl.write_baseline(
             cfg.baseline_path,
             stats=stats_doc,
@@ -803,6 +871,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             accepted_violations=all_keys,
             created_at=cfg.created_at,
             schema={"columns": current_schema, "partition_keys": ["part"]},
+            accepted_ref=ref,
         )
         return RunResult(EXIT_OK, report, violations_path, verdicts_path)
 

@@ -122,17 +122,15 @@ def test_baseline_accept_then_green(spark, tiny_dir, tmp_path_factory):
 
 
 def test_resume_converges(spark, tiny_dir, tiny_run, tmp_path_factory):
+    from codeclone_spark.plans.ledger import Ledger
+
     out = str(tmp_path_factory.mktemp("resume"))
     r1 = run(spark, RunConfig(data_dir=tiny_dir, out_dir=out, wave_size=6))
-    ledger_path = os.path.join(out, "ledger.json")
-    with open(ledger_path) as f:
-        led = json.load(f)
-    assert len(led["partitions"]) == 16
+    led = Ledger(os.path.join(out, "ledger"))
+    assert len(led.partitions) == 16
     # simulate a crash: forget half the partitions, re-run
-    for p in list(led["partitions"])[8:]:
-        del led["partitions"][p]
-    with open(ledger_path, "w") as f:
-        json.dump(led, f)
+    led.forget(sorted(led.partitions)[8:])
+    led.save(tag="test-forget")
     r2 = run(spark, RunConfig(data_dir=tiny_dir, out_dir=out, wave_size=6))
     assert r2.report["inventory"]["partitions_resumed"] == 8
     # identical outputs vs the single-wave fresh run (determinism contract)
@@ -181,12 +179,14 @@ def test_zero_row_partition_resumes(spark, tiny_dir, tmp_path_factory, tmp_path)
     out = str(tmp_path_factory.mktemp("zero_row_run"))
     res = run(spark, RunConfig(data_dir=data, out_dir=out))
     assert res.exit_code == EXIT_GATE_FAILURE  # planted violations still fail
-    ledger = json.load(open(os.path.join(out, "ledger.json")))
-    assert ledger["partitions"]["zz-empty"]["rows"] == 0
+    from codeclone_spark.plans.ledger import Ledger
+
+    ledger = Ledger(os.path.join(out, "ledger"))
+    assert ledger.partitions["zz-empty"]["rows"] == 0
     # resume over the same out_dir converges without touching the empty part
     res2 = run(spark, RunConfig(data_dir=data, out_dir=out))
     assert res2.report["inventory"]["partitions_resumed"] == len(
-        ledger["partitions"]
+        ledger.partitions
     )
 
 

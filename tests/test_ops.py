@@ -184,6 +184,26 @@ def test_lsh_hot_bucket_cap(spark):
     assert full.count() >= 190  # C(20,2)
 
 
+def test_lsh_pairs_single_pass_no_checkpoint(spark, tmp_path):
+    """The pair plan consumes the shingle+MinHash pipeline exactly once:
+    one source scan, one bucket shuffle, no self-join and no checkpoint
+    (full recompute lineage — the r2 localCheckpoint reliability hazard is
+    structurally gone)."""
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(f"d{i}", f"some text body number {i % 7}") for i in range(50)],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    docs = spark.read.parquet(src)
+    pairs = dd.lsh_candidate_pairs(docs, "doc_id", "text")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Checkpoint" not in plan and "Join" not in plan
+    # the only exchanges: signature fold (groupBy id), bucket shuffle
+    # (groupBy band+key), final pair distinct — no join exchanges
+    assert plan.count("Exchange") == 3
+
+
 def test_embedding_neardup_requires_blocking(spark):
     import pytest
 
