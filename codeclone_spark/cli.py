@@ -41,6 +41,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="suppress new violations of RULE in partition PART"
                         " ('*' = all partitions); repeatable")
     r.add_argument("--cores", type=int, default=None)
+    r.add_argument("--render", default=None, metavar="FMT[,FMT]",
+                   help="also render report.md / report.sarif from the "
+                        "canonical report.json (formats: md, sarif)")
+
+    d = sub.add_parser(
+        "render",
+        help="render md/sarif from an existing run's report.json (no Spark)",
+    )
+    d.add_argument("--out-dir", required=True)
+    d.add_argument("--formats", default="md,sarif", metavar="FMT[,FMT]")
 
     g = sub.add_parser("synth", help="generate synthetic corpus")
     g.add_argument("--out-dir", required=True)
@@ -60,6 +70,19 @@ def main(argv: list[str] | None = None) -> int:
 
         m = generate(args.out_dir, profile=args.profile, seed=args.seed)
         print(json.dumps({k: v for k, v in m.items() if k != "planted"}))
+        return 0
+
+    if args.cmd == "render":
+        from codeclone_spark.plans.render import render_outputs
+
+        try:
+            written = render_outputs(
+                args.out_dir, [f.strip() for f in args.formats.split(",") if f.strip()]
+            )
+        except (OSError, ValueError, json.JSONDecodeError) as e:
+            print(f"CONTRACT_ERROR: {type(e).__name__}: {e}", file=sys.stderr)
+            return EXIT_CONTRACT_ERROR
+        print(json.dumps({"rendered": written}))
         return 0
 
     max_count: dict[str, int] = {}
@@ -94,6 +117,13 @@ def main(argv: list[str] | None = None) -> int:
     except Exception as e:  # unreadable input etc. -> contract error
         print(f"CONTRACT_ERROR: {type(e).__name__}: {e}", file=sys.stderr)
         return EXIT_CONTRACT_ERROR
+    if args.render and res.violations_path:
+        from codeclone_spark.plans.render import render_outputs
+
+        render_outputs(
+            args.out_dir,
+            [f.strip() for f in args.render.split(",") if f.strip()],
+        )
     summary = {
         "exit_code": res.exit_code,
         "violations": res.report.get("findings", {}).get("total_violations"),

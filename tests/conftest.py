@@ -31,3 +31,12 @@ def tiny_manifest(tiny_dir) -> dict:
 
     with open(os.path.join(tiny_dir, "manifest.json")) as f:
         return json.load(f)
+
+
+@pytest.fixture(scope="session")
+def tiny_run(spark, tiny_dir, tmp_path_factory):
+    """One shared full validation run over the tiny corpus."""
+    from codeclone_spark.plans.runner import RunConfig, run
+
+    out = str(tmp_path_factory.mktemp("tiny_run"))
+    return run(spark, RunConfig(data_dir=tiny_dir, out_dir=out))

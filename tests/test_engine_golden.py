@@ -16,13 +16,6 @@ from codeclone_spark.plans.runner import RunConfig, run
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "tiny_violations.json")
 
 
-@pytest.fixture(scope="session")
-def tiny_run(spark, tiny_dir, tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("tiny_run"))
-    res = run(spark, RunConfig(data_dir=tiny_dir, out_dir=out))
-    return res
-
-
 def test_exit_code_gate_failure(tiny_run):
     # planted violations + no baseline -> gates fail
     assert tiny_run.exit_code == EXIT_GATE_FAILURE
