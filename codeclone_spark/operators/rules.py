@@ -192,6 +192,7 @@ RULE_SEVERITY = {
     "drift:ks:dur_ms": "warn",
     "drift:psi:sr_hz": "warn",
     "drift:quantile:dur_ms": "warn",
+    "drift:quantile:rms": "warn",
     "schema:removed": "error",
     "schema:type_change": "error",
 }
@@ -200,6 +201,7 @@ DRIFT_RULE_IDS = [
     "drift:ks:dur_ms",
     "drift:psi:sr_hz",
     "drift:quantile:dur_ms",
+    "drift:quantile:rms",
 ]
 # schema-evolution verdicts vs the baseline snapshot (breaking changes only;
 # added columns are informational, reported not gated)
@@ -214,6 +216,30 @@ SCHEMA_RULE_IDS = ["schema:removed", "schema:type_change"]
 QSK_BIN_MS = 25
 QSK_MAX_MS = 3200
 QSK_NBINS = QSK_MAX_MS // QSK_BIN_MS + 1  # + overflow
+
+
+@dataclass(frozen=True)
+class NumericColSpec:
+    """One declarative entry of the per-column stats family: the column
+    gets null/min/max/mean partials, a mergeable fixed-bin quantile
+    sketch, baseline quantiles, and a drift:quantile:<name> gate — the
+    reference's METRIC_FAMILIES breadth (metrics/registry.py:678-783)
+    expressed as data, not code."""
+
+    name: str        # facts column
+    bin_width: float  # sketch bin width (column units)
+    nbins: int       # bins incl. one overflow bin
+
+
+NUMERIC_STATS_COLUMNS: tuple[NumericColSpec, ...] = (
+    NumericColSpec("dur_ms", float(QSK_BIN_MS), QSK_NBINS),
+    # decoded-PCM RMS lives in [0, ~1]: 1/128 resolution + overflow
+    NumericColSpec("rms", 1.0 / 128.0, 130),
+)
+# every registry column carries a quantile-drift gate
+assert all(
+    f"drift:quantile:{s.name}" in DRIFT_RULE_IDS for s in NUMERIC_STATS_COLUMNS
+)
 
 
 def evaluate_row_rules(facts: DataFrame) -> DataFrame:
@@ -298,25 +324,26 @@ def _hist_expr(col: str, edges: list[float]) -> Column:
     return F.array(*buckets)
 
 
-def qsk_bin(col: str) -> Column:
-    """Quantile-sketch bin index for a non-negative duration (last bin =
-    overflow); null for null/negative values (excluded from the sketch).
-    The sketch itself is aggregated as groupBy(part, bin).count() — one
-    array<long> of QSK_NBINS counts per partition after the driver-side
-    reshape — NOT as QSK_NBINS separate aggregate expressions: that shape
+def qsk_bin(spec: NumericColSpec) -> Column:
+    """Quantile-sketch bin index for a non-negative numeric column (last
+    bin = overflow); null for null/negative values (excluded from the
+    sketch).  The sketch itself is aggregated as groupBy(part, bin).count()
+    — one array<long> of nbins counts per partition after the driver-side
+    reshape — NOT as nbins separate aggregate expressions: that shape
     generated so much code that Janino compilation (~5 s per fresh plan)
     dwarfed the actual aggregation (~0.3 s)."""
     idx = F.least(
-        (F.col(col).cast("long") / QSK_BIN_MS).cast("int"),
-        F.lit(QSK_NBINS - 1),
+        (F.col(spec.name) / F.lit(spec.bin_width)).cast("int"),
+        F.lit(spec.nbins - 1),
     )
-    return F.when(F.col(col).isNotNull() & (F.col(col) >= 0), idx)
+    return F.when(F.col(spec.name).isNotNull() & (F.col(spec.name) >= 0), idx)
 
 
-def qsketch_counts(facts: DataFrame) -> DataFrame:
-    """(part, bin, n) sketch partials — mergeable by summing counts."""
+def qsketch_counts(facts: DataFrame, spec: NumericColSpec) -> DataFrame:
+    """(part, bin, n) sketch partials for one registry column — mergeable
+    by summing counts."""
     return (
-        facts.select("part", qsk_bin("dur_ms").alias("bin"))
+        facts.select("part", qsk_bin(spec).alias("bin"))
         .filter(F.col("bin").isNotNull())
         .groupBy("part", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -330,25 +357,27 @@ def partition_aggregates(facts: DataFrame) -> DataFrame:
     are mergeable arrays so drift can be computed from the ledger across
     resumable waves without rescanning data."""
     sr_cats = [F.sum((F.col("sr_hz") == v).cast("long")).alias(f"sr_{v}") for v in ALLOWED_SR]
+    # one (null, min, max, mean) quartet per registry column — the
+    # mergeable quantile SKETCH is aggregated separately (qsketch_counts)
+    # to keep this plan's codegen unit small
+    col_aggs = []
+    for spec in NUMERIC_STATS_COLUMNS:
+        c = spec.name
+        col_aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_null"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            F.avg(c).alias(f"{c}_mean"),
+        ]
     return facts.groupBy("part").agg(
         F.count(F.lit(1)).alias("rows"),
-        F.sum(F.col("dur_ms").isNull().cast("long")).alias("dur_null"),
         F.sum(
             (F.col("transcript").isNull() | (F.length("transcript") == 0)).cast("long")
         ).alias("transcript_null"),
-        F.min("dur_ms").alias("dur_min"),
-        F.max("dur_ms").alias("dur_max"),
-        F.avg("dur_ms").alias("dur_mean"),
-        F.avg("rms").alias("rms_mean"),
         F.sum((~F.col("decode_ok")).cast("long")).alias("undecodable"),
         F.approx_count_distinct("clip_id").alias("approx_ndv"),
         _hist_expr("dur_ms", DUR_BIN_EDGES).alias("dur_hist"),
-        # per-partition approx quantiles (Greenwald-Khanna, JVM-side); the
-        # mergeable quantile SKETCH is aggregated separately (see
-        # qsketch_counts) to keep this plan's codegen unit small
-        F.percentile_approx(
-            "dur_ms", [0.5, 0.95, 0.99], 10_000  # type: ignore[arg-type]
-        ).alias("dur_q"),
+        *col_aggs,
         *sr_cats,
     )
 

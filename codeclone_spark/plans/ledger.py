@@ -165,45 +165,65 @@ class Ledger:
         self._pending = {}
 
 
+def _merge_colstats(
+    entries: list[dict[str, Any]],
+) -> dict[str, dict[str, Any]]:
+    """Fold per-partition numeric-column partials ({null, min, max, mean,
+    qsk}) for every column present in the entries — the ledger stays
+    agnostic of WHICH columns the stats registry declares."""
+    names = sorted(
+        {c for e in entries for c in (e.get("colstats") or {})}
+    )
+    out: dict[str, dict[str, Any]] = {}
+    for name in names:
+        subs = [
+            (e["rows"], e["colstats"][name])
+            for e in entries
+            if name in (e.get("colstats") or {})
+        ]
+        nulls = sum(s["null"] for _r, s in subs)
+        mins = [s["min"] for _r, s in subs if s["min"] is not None]
+        maxs = [s["max"] for _r, s in subs if s["max"] is not None]
+        # mean from per-partition (mean, non-null count) weighted fold
+        wsum = sum(
+            s["mean"] * (r - s["null"]) for r, s in subs if s["mean"] is not None
+        )
+        nn = sum(r - s["null"] for r, s in subs)
+        qsk = [0] * max((len(s.get("qsk", [])) for _r, s in subs), default=0)
+        for _r, s in subs:
+            for i, c in enumerate(s.get("qsk", [])):
+                qsk[i] += c
+        out[name] = {
+            "null": nulls,
+            "min": min(mins) if mins else None,
+            "max": max(maxs) if maxs else None,
+            "mean": round(wsum / nn, 6) if nn else None,
+            "qsk": qsk,
+        }
+    return out
+
+
 def merge_partials(entries: list[dict[str, Any]]) -> dict[str, Any]:
     """Fold per-partition partials into table-level stats (the reference's
     MetricFamily.aggregate step, metrics/registry.py:678-783)."""
     if not entries:
         return {}
     rows = sum(e["rows"] for e in entries)
-    dur_null = sum(e["dur_null"] for e in entries)
     tr_null = sum(e["transcript_null"] for e in entries)
     undec = sum(e["undecodable"] for e in entries)
-    mins = [e["dur_min"] for e in entries if e["dur_min"] is not None]
-    maxs = [e["dur_max"] for e in entries if e["dur_max"] is not None]
-    # mean from per-partition (mean, non-null count) weighted fold
-    wsum = sum(
-        e["dur_mean"] * (e["rows"] - e["dur_null"])
-        for e in entries
-        if e["dur_mean"] is not None
-    )
-    nn = sum(e["rows"] - e["dur_null"] for e in entries)
     hist = [0] * len(entries[0]["dur_hist"])
     for e in entries:
         for i, c in enumerate(e["dur_hist"]):
             hist[i] += c
-    qsk = [0] * len(entries[0].get("dur_qsk", []))
-    for e in entries:
-        for i, c in enumerate(e.get("dur_qsk", [])):
-            qsk[i] += c
     sr_counts: dict[str, int] = {}
     for e in entries:
         for k, v in e["sr_counts"].items():
             sr_counts[k] = sr_counts.get(k, 0) + v
     return {
         "rows": rows,
-        "dur_null": dur_null,
         "transcript_null": tr_null,
         "undecodable": undec,
-        "dur_min": min(mins) if mins else None,
-        "dur_max": max(maxs) if maxs else None,
-        "dur_mean": round(wsum / nn, 6) if nn else None,
         "dur_hist": hist,
-        "dur_qsk": qsk,
         "sr_counts": dict(sorted(sr_counts.items())),
+        "colstats": _merge_colstats(entries),
     }

@@ -43,8 +43,7 @@ from codeclone_spark.operators.rules import (
     ALLOWED_SR,
     DRIFT_RULE_IDS,
     DUR_BIN_EDGES,
-    QSK_BIN_MS,
-    QSK_NBINS,
+    NUMERIC_STATS_COLUMNS,
     RULE_SEVERITY,
     SCHEMA_RULE_IDS,
     GateConfig,
@@ -365,13 +364,16 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         _mark("wave_facts_and_row_rules")
 
         aggs = partition_aggregates(facts).collect()
-        # quantile-sketch partials: (part, bin) counts reshaped to the
-        # per-partition array the ledger merges (tiny second aggregation
-        # over the cached facts; see rules.qsk_bin for why it is separate)
-        qsk_by_part: dict[str, list[int]] = {}
-        for r in qsketch_counts(facts).collect():
-            arr = qsk_by_part.setdefault(r["part"], [0] * QSK_NBINS)
-            arr[int(r["bin"])] = int(r["n"])
+        # quantile-sketch partials per registry column: (part, bin) counts
+        # reshaped to the per-partition arrays the ledger merges (tiny
+        # aggregations over the cached facts; see rules.qsk_bin for why
+        # they are separate from the main groupBy)
+        qsk_by_col: dict[str, dict[str, list[int]]] = {}
+        for spec in NUMERIC_STATS_COLUMNS:
+            col_arr = qsk_by_col.setdefault(spec.name, {})
+            for r in qsketch_counts(facts, spec).collect():
+                arr = col_arr.setdefault(r["part"], [0] * spec.nbins)
+                arr[int(r["bin"])] = int(r["n"])
         _mark("wave_partition_aggs")
         # fold per-rule stats into per-partition ledger fields (driver-side,
         # wave-sized): true counts, suppressed exemplars, stable digest
@@ -408,20 +410,26 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
                     "data_sig": data_sigs.get(part, "absent"),
                     "baseline_sha": accepted_sha,
                     "rows": d["rows"],
-                    "dur_null": d["dur_null"],
                     "transcript_null": d["transcript_null"],
                     "undecodable": d["undecodable"],
-                    "dur_min": d["dur_min"],
-                    "dur_max": d["dur_max"],
-                    "dur_mean": float(d["dur_mean"]) if d["dur_mean"] is not None else None,
                     "approx_ndv": d["approx_ndv"],
                     "dur_hist": [int(x) for x in d["dur_hist"]],
-                    "dur_q": (
-                        [float(x) for x in d["dur_q"]]
-                        if d["dur_q"] is not None
-                        else None
-                    ),
-                    "dur_qsk": qsk_by_part.get(part, [0] * QSK_NBINS),
+                    "colstats": {
+                        spec.name: {
+                            "null": int(d[f"{spec.name}_null"]),
+                            "min": d[f"{spec.name}_min"],
+                            "max": d[f"{spec.name}_max"],
+                            "mean": (
+                                float(d[f"{spec.name}_mean"])
+                                if d[f"{spec.name}_mean"] is not None
+                                else None
+                            ),
+                            "qsk": qsk_by_col[spec.name].get(
+                                part, [0] * spec.nbins
+                            ),
+                        }
+                        for spec in NUMERIC_STATS_COLUMNS
+                    },
                     "sr_counts": {
                         str(v): int(d[f"sr_{v}"]) for v in ALLOWED_SR
                     },
@@ -444,16 +452,20 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
                         "data_sig": data_sigs.get(part, "absent"),
                         "baseline_sha": accepted_sha,
                         "rows": 0,
-                        "dur_null": 0,
                         "transcript_null": 0,
                         "undecodable": 0,
-                        "dur_min": None,
-                        "dur_max": None,
-                        "dur_mean": None,
                         "approx_ndv": 0,
                         "dur_hist": [0] * (len(DUR_BIN_EDGES) - 1),
-                        "dur_q": None,
-                        "dur_qsk": [0] * QSK_NBINS,
+                        "colstats": {
+                            spec.name: {
+                                "null": 0,
+                                "min": None,
+                                "max": None,
+                                "mean": None,
+                                "qsk": [0] * spec.nbins,
+                            }
+                            for spec in NUMERIC_STATS_COLUMNS
+                        },
                         "sr_counts": {str(v): 0 for v in ALLOWED_SR},
                         "violations": 0,
                         "suppressed": 0,
@@ -596,12 +608,18 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         counts, part_rows, cfg.gates, set(accepted), test_lane=lane_parts
     )
 
-    # table-level quantiles from the merged fixed-bin sketch (mergeable
-    # across waves/resumes — the ledger never rescans completed partitions)
-    qsk = table_stats.get("dur_qsk", [])
-    quantiles_doc = {
-        p: bl.sketch_quantile(qsk, QSK_BIN_MS, q)
-        for p, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+    # table-level quantiles per registry column from the merged fixed-bin
+    # sketches (mergeable across waves/resumes — the ledger never rescans
+    # completed partitions)
+    colstats = table_stats.get("colstats", {})
+    quantiles_by_col = {
+        spec.name: {
+            p: bl.sketch_quantile(
+                colstats.get(spec.name, {}).get("qsk", []), spec.bin_width, q
+            )
+            for p, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99))
+        }
+        for spec in NUMERIC_STATS_COLUMNS
     }
 
     # --- drift (driver-side math on merged mergeable partials)
@@ -617,28 +635,32 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             ("drift:ks:dur_ms", bl.ks_stat(b_hist, c_hist), cfg.gates.ks_max),
             ("drift:psi:sr_hz", bl.psi(b_sr, c_sr), cfg.gates.psi_max),
         ]
-        # quantile drift: max relative delta of p50/p95/p99 vs snapshot
-        # (reference numeric-delta gating, baseline/diff.py:35-108)
-        b_q = (snapshot["stats"].get("dur_ms") or {}).get("quantiles") or {}
-        rel = 0.0
-        for p in ("p50", "p95", "p99"):
-            bq, cq = b_q.get(p), quantiles_doc.get(p)
-            if bq is not None and cq is not None:
-                rel = max(rel, abs(cq - bq) / max(abs(bq), 1.0))
-        if b_q:
-            checks.append(
-                ("drift:quantile:dur_ms", rel, cfg.gates.quantile_rel_max)
-            )
-        else:
-            drift_verdicts.append(
-                (
-                    TABLE_SCOPE,
-                    "drift:quantile:dur_ms",
-                    True,
-                    "drift:quantile:dur_ms: skipped (baseline has no quantiles)",
-                    "known",
+        # quantile drift per registry column: max relative delta of
+        # p50/p95/p99 vs snapshot (reference numeric-delta gating,
+        # baseline/diff.py:35-108); a baseline written before a column
+        # joined the registry simply skips that column's gate
+        for spec in NUMERIC_STATS_COLUMNS:
+            rid = f"drift:quantile:{spec.name}"
+            b_q = (snapshot["stats"].get(spec.name) or {}).get("quantiles") or {}
+            if not b_q:
+                drift_verdicts.append(
+                    (
+                        TABLE_SCOPE,
+                        rid,
+                        True,
+                        f"{rid}: skipped (baseline has no quantiles)",
+                        "known",
+                    )
                 )
-            )
+                continue
+            rel = 0.0
+            for p in ("p50", "p95", "p99"):
+                bq, cq = b_q.get(p), quantiles_by_col[spec.name].get(p)
+                if bq is not None and cq is not None:
+                    # floor the denominator at one sketch bin: deltas below
+                    # the sketch's resolution are not meaningful drift
+                    rel = max(rel, abs(cq - bq) / max(abs(bq), spec.bin_width))
+            checks.append((rid, rel, cfg.gates.quantile_rel_max))
         for rid, val, mx in checks:
             ok = val <= mx
             drift_metrics[rid] = round(val, 6)
@@ -763,17 +785,23 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         "clip_id_exact_dup_groups": int(rule_counts.get("uniq:clip_id", 0)),
     }
 
-    stats_doc = {
-        "dur_ms": {
+    stats_doc: dict[str, Any] = {
+        spec.name: {
             "count": table_stats.get("rows", 0),
             "null_permille": round(
-                1000.0 * table_stats.get("dur_null", 0) / max(table_stats.get("rows", 1), 1), 3
+                1000.0
+                * colstats.get(spec.name, {}).get("null", 0)
+                / max(table_stats.get("rows", 1), 1),
+                3,
             ),
-            "min": table_stats.get("dur_min"),
-            "max": table_stats.get("dur_max"),
-            "mean": table_stats.get("dur_mean"),
-            "quantiles": quantiles_doc,
-        },
+            "min": colstats.get(spec.name, {}).get("min"),
+            "max": colstats.get(spec.name, {}).get("max"),
+            "mean": colstats.get(spec.name, {}).get("mean"),
+            "quantiles": quantiles_by_col[spec.name],
+        }
+        for spec in NUMERIC_STATS_COLUMNS
+    }
+    stats_doc |= {
         "transcript": {
             "count": table_stats.get("rows", 0),
             "null_or_empty_permille": round(

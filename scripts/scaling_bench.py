@@ -119,17 +119,23 @@ def main() -> None:
     rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
     sys.path.insert(0, REPO)
-    from codeclone_spark.synth import ensure_profile
+    override = os.environ.get("SCALING_DATA_DIR")
+    if override:
+        # pre-staged corpus (e.g. scripts/replicate_corpus.py on tmpfs)
+        data_dir = override
+    else:
+        from codeclone_spark.synth import ensure_profile
 
-    data_dir = ensure_profile(os.path.join(REPO, "testclips"), profile)
-    # stage on tmpfs: RAM-backed, immune to this sandbox's page-cache drops
-    import shutil
+        data_dir = ensure_profile(os.path.join(REPO, "testclips"), profile)
+        # stage on tmpfs: RAM-backed, immune to this sandbox's page-cache
+        # drops
+        import shutil
 
-    shm_dir = f"/dev/shm/scaling_{profile}"
-    if not os.path.exists(os.path.join(shm_dir, "manifest.json")):
-        shutil.rmtree(shm_dir, ignore_errors=True)
-        shutil.copytree(data_dir, shm_dir)
-    data_dir = shm_dir
+        shm_dir = f"/dev/shm/scaling_{profile}"
+        if not os.path.exists(os.path.join(shm_dir, "manifest.json")):
+            shutil.rmtree(shm_dir, ignore_errors=True)
+            shutil.copytree(data_dir, shm_dir)
+        data_dir = shm_dir
     with open(os.path.join(data_dir, "manifest.json")) as f:
         n_clips = json.load(f)["n_total_rows"]
 

@@ -243,6 +243,31 @@ def test_table_scope_rules_not_lane_bypassed(spark, tiny_dir, tmp_path_factory):
         )
 
 
+def test_second_column_joins_stats_family(spark, tiny_dir, tiny_run, tmp_path_factory):
+    """rms gets the full declarative treatment: report stats + quantiles,
+    baseline snapshot carries them, and a gated run emits the
+    drift:quantile:rms verdict (VERDICT r2 item 7)."""
+    st = tiny_run.report["metrics"]["stats"]
+    assert "rms" in st and st["rms"]["quantiles"]["p50"] is not None
+    assert 0.0 < st["rms"]["quantiles"]["p50"] <= 1.0
+    out1 = str(tmp_path_factory.mktemp("rms_accept"))
+    base = os.path.join(out1, "baseline.json")
+    run(
+        spark,
+        RunConfig(
+            data_dir=tiny_dir, out_dir=out1, baseline_path=base,
+            update_baseline=True,
+        ),
+    )
+    snap = json.load(open(base))
+    assert snap["stats"]["rms"]["quantiles"]["p95"] is not None
+    out2 = str(tmp_path_factory.mktemp("rms_gated"))
+    r2 = run(spark, RunConfig(data_dir=tiny_dir, out_dir=out2, baseline_path=base))
+    assert r2.exit_code == EXIT_OK
+    assert "drift:quantile:rms" in r2.report["metrics"]["drift"]
+    assert r2.report["metrics"]["drift"]["drift:quantile:rms"] <= 1e-9
+
+
 def test_exemplar_cap_zero_means_uncapped(spark, tiny_dir, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("cap0"))
     res = run(spark, RunConfig(data_dir=tiny_dir, out_dir=out, exemplar_cap=0))

@@ -137,7 +137,9 @@ def test_partition_aggregates_histogram(spark):
     )
     row = partition_aggregates(f).collect()[0]
     assert row["rows"] == 3
-    assert row["dur_null"] == 1
+    assert row["dur_ms_null"] == 1
+    # the registry's second column gets the same quartet
+    assert "rms_null" in row.asDict() and "rms_mean" in row.asDict()
     # 300 -> bin [250,400); 450 -> bin [400,600)
     assert row["dur_hist"][1] == 1 and row["dur_hist"][2] == 1
     assert row["sr_16000"] == 3
