@@ -54,6 +54,13 @@ spark = get_spark(app_name=f"scaling-{{cores}}", cores=cores,
 spark.sparkContext.setLogLevel("ERROR")
 results = []
 from codeclone_spark.plans.facts import decode_stage, read_clips
+
+def _cpu_steal():
+    # /proc/stat: cpu user nice system idle iowait irq softirq steal ...
+    f = open("/proc/stat").readline().split()
+    vals = [int(x) for x in f[1:]]
+    return vals[7], sum(vals)
+
 for i in range({runs} + 1):  # first run = warmup
     # data-plane measurement: the decode stage alone (map-only over the
     # scan) — the part of the job that is distributed work rather than
@@ -63,10 +70,13 @@ for i in range({runs} + 1):  # first run = warmup
     decode_t = time.monotonic() - t0
     out = f"/tmp/scaling_out_{{cores}}"
     shutil.rmtree(out, ignore_errors=True)
+    s0, tot0 = _cpu_steal()
     t0 = time.monotonic()
     res = run(spark, RunConfig(data_dir={data_dir!r}, out_dir=out, gating=False))
     dt = time.monotonic() - t0
-    results.append({{"t": dt, "decode_t": decode_t,
+    s1, tot1 = _cpu_steal()
+    steal_pct = round(100.0 * (s1 - s0) / max(tot1 - tot0, 1), 2)
+    results.append({{"t": dt, "decode_t": decode_t, "steal_pct": steal_pct,
                     "digest": res.report["integrity"]["run_digest"],
                     "phases": res.report["phases"]}})
     shutil.rmtree(out, ignore_errors=True)
@@ -156,8 +166,10 @@ def main() -> None:
         ts = [x["t"] for x in rs]
         wave = [x["phases"].get("wave_facts_and_row_rules", 0.0) for x in rs]
         dec = [x.get("decode_t", 0.0) for x in rs]
+        stl = [x.get("steal_pct", -1.0) for x in rs]
         return {
             "times": [round(t, 3) for t in ts],
+            "steal_pct": stl,
             "decode_times": [round(t, 3) for t in dec],
             "median": statistics.median(ts),
             "min": min(ts),
@@ -194,6 +206,8 @@ def main() -> None:
         "rounds": rounds,
         "times_low": lo["times"],
         "times_high": hi["times"],
+        "steal_pct_low": lo["steal_pct"],
+        "steal_pct_high": hi["steal_pct"],
         "median_eff": round(eff_med, 3),
         "min_eff": round(eff_min, 3),
         "wave_phase_eff": round(eff_wave, 3),
