@@ -12,9 +12,12 @@ Mapping of engine mechanisms onto Iceberg:
   metadata table (`SELECT partition FROM db.tbl.partitions`)
 - resume pruning (`part NOT IN done`): identical partition-column filter;
   Iceberg prunes manifests before planning a single file split
-- checkpoint ledger keyed by (partition): add `snapshot_id` to the entry so
-  a resume validates against the same table snapshot (time travel:
-  `spark.read.option("snapshot-id", ...)`)
+- checkpoint ledger keyed by (partition): every entry carries a
+  `data_sig` resume-validity signature (`plans/ledger.py:
+  partition_data_signature` — a fold of the partition files'
+  (name, size, mtime_ns)); with a live catalog the same field holds
+  the table `snapshot_id` instead, and a resume validates against the
+  same snapshot (time travel: `spark.read.option("snapshot-id", ...)`)
 - violations/verdicts sinks: `df.writeTo(tbl).append()` instead of parquet
 - bucketed clip_id layout: `ALTER TABLE ... WRITE ORDERED BY` /
   `bucket(N, clip_id)` partition transform makes the fixtures meta join and
