@@ -101,7 +101,10 @@ def _resign(path):
     """Re-sign a mutated baseline doc (valid sha; trust must come from the
     OTHER checks)."""
     doc = json.load(open(path))
-    payload_keys = ["stats", "histograms", "uniqueness", "accepted_violations", "schema"]
+    payload_keys = [
+        "stats", "histograms", "uniqueness", "accepted_violations",
+        "schema", "accepted_ref",
+    ]
     payload = {k: doc[k] for k in payload_keys if k in doc}
     doc["meta"]["payload_sha256"] = bl.payload_sha256(payload)
     json.dump(doc, open(path, "w"))
