@@ -350,6 +350,28 @@ def qsketch_counts(facts: DataFrame, spec: NumericColSpec) -> DataFrame:
     )
 
 
+def qsketch_counts_multi(
+    facts: DataFrame, specs: tuple[NumericColSpec, ...]
+) -> DataFrame:
+    """(part, col, bin, n) sketch partials for EVERY registry column in one
+    Spark job: the per-column bin indices explode from one array, so adding
+    a column to the registry costs zero extra wave jobs (the groupBy key
+    grows by the tiny `col` dimension instead)."""
+    entries = F.array(
+        *[
+            F.struct(F.lit(s.name).alias("col"), qsk_bin(s).alias("bin"))
+            for s in specs
+        ]
+    )
+    return (
+        facts.select("part", F.explode(entries).alias("e"))
+        .select("part", F.col("e.col").alias("col"), F.col("e.bin").alias("bin"))
+        .filter(F.col("bin").isNotNull())
+        .groupBy("part", "col", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def partition_aggregates(facts: DataFrame) -> DataFrame:
     """Per-partition stats in one groupBy (partial+final hash agg); only
     the fine-grained quantile sketch lives in its own tiny aggregation

@@ -50,7 +50,7 @@ from codeclone_spark.operators.rules import (
     build_verdicts,
     evaluate_row_rules,
     partition_aggregates,
-    qsketch_counts,
+    qsketch_counts_multi,
     violation_key,
 )
 from codeclone_spark.plans import baseline as bl
@@ -368,12 +368,16 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         # reshaped to the per-partition arrays the ledger merges (tiny
         # aggregations over the cached facts; see rules.qsk_bin for why
         # they are separate from the main groupBy)
-        qsk_by_col: dict[str, dict[str, list[int]]] = {}
-        for spec in NUMERIC_STATS_COLUMNS:
-            col_arr = qsk_by_col.setdefault(spec.name, {})
-            for r in qsketch_counts(facts, spec).collect():
-                arr = col_arr.setdefault(r["part"], [0] * spec.nbins)
-                arr[int(r["bin"])] = int(r["n"])
+        nbins_by_col = {s.name: s.nbins for s in NUMERIC_STATS_COLUMNS}
+        qsk_by_col: dict[str, dict[str, list[int]]] = {
+            s.name: {} for s in NUMERIC_STATS_COLUMNS
+        }
+        for r in qsketch_counts_multi(facts, NUMERIC_STATS_COLUMNS).collect():
+            col_arr = qsk_by_col[r["col"]]
+            arr = col_arr.setdefault(
+                r["part"], [0] * nbins_by_col[r["col"]]
+            )
+            arr[int(r["bin"])] = int(r["n"])
         _mark("wave_partition_aggs")
         # fold per-rule stats into per-partition ledger fields (driver-side,
         # wave-sized): true counts, suppressed exemplars, stable digest
