@@ -1253,12 +1253,20 @@ def validation_violations(spark: SparkSession, sf: str) -> DataFrame:
     """Full engine pass over the synthetic corpus — returns the canonical
     violations frame.  Rows-only check: SNR/decode facts aren't
     SQL-expressible (DuckDB can't decode audio)."""
+    import shutil
     import tempfile
 
     from codeclone_spark.plans.runner import RunConfig, run
 
     data_dir = clips_dir_for(sf)
-    out_dir = tempfile.mkdtemp(prefix="ccspark_run_")
+    # Deterministic scratch path, wiped on entry: the returned frame lazily
+    # reads these files (so they can't be deleted here), but repeat
+    # invocations reuse ONE directory per profile instead of leaking a
+    # mkdtemp each call.
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"ccspark_run_{_profile_for(sf)}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
     res = run(spark, RunConfig(data_dir=data_dir, out_dir=out_dir, gating=False))
     return spark.read.parquet(res.violations_path).orderBy(
         "rule_id", "partition", "clip_id", "observed"
