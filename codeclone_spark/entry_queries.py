@@ -1249,6 +1249,117 @@ FROM {_CLIPS_SQL} WHERE dur_ms IS NOT NULL GROUP BY 1 ORDER BY bin
 """
 
 
+def multimodal_image_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-decode pipeline over binary payloads synthesized 1:1 from the
+    documents table (seeded by doc_id — fully deterministic, every 23rd
+    payload truncated to exercise the error channel).  Two Arrow-batched
+    mapInPandas stages: synthesize-encode (snpi container) then the REAL
+    decode/feature pass (functions/multimodal.py); payload bytes never
+    survive a stage boundary.  Rows-only check: zlib+pixel math is not
+    SQL-expressible."""
+    from codeclone_spark.functions.multimodal import (
+        IMAGE_FACTS_SCHEMA,
+        image_facts_map_in_pandas,
+    )
+
+    def synth(batches):
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        from codeclone_spark.functions.multimodal import encode_snpi
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                seed = int.from_bytes(
+                    _hl.md5(str(doc_id).encode()).digest()[:8], "big"
+                )
+                rng = _np.random.default_rng(seed)
+                h, w = 8 + seed % 16, 8 + (seed >> 8) % 24
+                blob = encode_snpi(
+                    rng.integers(0, 256, size=(h, w, 3), dtype=_np.uint8)
+                )
+                if seed % 23 == 0:  # planted corruption -> error row
+                    blob = blob[: len(blob) // 2]
+                ids.append(str(doc_id))
+                payloads.append(blob)
+            yield _pd.DataFrame(
+                {"item_id": ids, "payload": payloads,
+                 "format": ["snpi"] * len(ids)}
+            )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    blobs = docs.mapInPandas(
+        synth, schema="item_id string, payload binary, format string"
+    )
+    facts = blobs.mapInPandas(image_facts_map_in_pandas, schema=IMAGE_FACTS_SCHEMA)
+    return (
+        facts.groupBy("decode_ok")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+            F.round(F.avg("width"), 4).alias("avg_width"),
+        )
+        .orderBy("decode_ok")
+    )
+
+
+def multimodal_video_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Video twin of multimodal_image_stats: synthesize snpv containers
+    (frame count/fps seeded by doc_id), demux the frame index without
+    inflation, decode only sampled frames, hash them.  Rows-only check."""
+    from codeclone_spark.functions.multimodal import (
+        VIDEO_FACTS_SCHEMA,
+        video_facts_map_in_pandas,
+    )
+
+    def synth(batches):
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        from codeclone_spark.functions.multimodal import encode_snpv
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                seed = int.from_bytes(
+                    _hl.md5(b"v" + str(doc_id).encode()).digest()[:8], "big"
+                )
+                rng = _np.random.default_rng(seed)
+                n, fps = 10 + seed % 80, 10 + (seed >> 8) % 21
+                frames = rng.integers(
+                    0, 256, size=(n, 8, 8), dtype=_np.uint8
+                )
+                blob = encode_snpv(frames, fps=fps)
+                if seed % 29 == 0:  # planted truncation -> error row
+                    blob = blob[:-5]
+                ids.append(str(doc_id))
+                payloads.append(blob)
+            yield _pd.DataFrame(
+                {"item_id": ids, "payload": payloads,
+                 "codec": ["snpv"] * len(ids)}
+            )
+
+    docs = _t(spark, sf, "documents").select("doc_id").limit(500)
+    blobs = docs.mapInPandas(
+        synth, schema="item_id string, payload binary, codec string"
+    )
+    facts = blobs.mapInPandas(video_facts_map_in_pandas, schema=VIDEO_FACTS_SCHEMA)
+    return (
+        facts.groupBy("decode_ok")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_sampled").alias("frames_sampled"),
+            F.round(F.avg("duration_s"), 4).alias("avg_dur_s"),
+        )
+        .orderBy("decode_ok")
+    )
+
+
 def validation_violations(spark: SparkSession, sf: str) -> DataFrame:
     """Full engine pass over the synthetic corpus — returns the canonical
     violations frame.  Rows-only check: SNR/decode facts aren't
@@ -1326,6 +1437,8 @@ def build_registry() -> dict[str, QueryDef]:
         "clips_dur_hist": QueryDef(clips_dur_hist, _clips_hist_sql()),
         "validation_violations": QueryDef(validation_violations, None),
         "stream_dedup_updates": QueryDef(stream_dedup_updates, None),
+        "multimodal_image_stats": QueryDef(multimodal_image_stats, None),
+        "multimodal_video_stats": QueryDef(multimodal_video_stats, None),
     }
 
 
