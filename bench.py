@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "sim_ann_topk_srp",
     "sim_ivf_assign",
     "clips_dur_quantiles",
+    "multimodal_image_stats",
 ]
 
 
