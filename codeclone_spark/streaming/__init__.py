@@ -9,6 +9,7 @@ one compute, two execution modes.
 """
 
 from codeclone_spark.streaming.micro_batch import (  # noqa: F401
+    stream_drift_monitor,
     stream_validate,
     windowed_violation_counts,
 )

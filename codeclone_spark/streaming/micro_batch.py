@@ -55,6 +55,67 @@ def stream_validate(
     return writer.start()
 
 
+def stream_drift_monitor(
+    spark: SparkSession,
+    clips_stream_dir: str,
+    baseline_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    psi_max: float = 0.25,
+) -> StreamingQuery:
+    """Live distribution-drift monitor: every micro-batch folds its dur_ms
+    histogram (the same mergeable ``_hist_expr`` partial the batch engine
+    ledgers) and scores PSI against the persisted baseline snapshot,
+    appending one verdict row per batch — the streaming analog of the
+    batch stage-5 drift gate.  The baseline must be TRUSTED (same
+    fail-closed contract as the batch runner); per-batch state is one
+    histogram array, so the monitor is O(bins) memory regardless of
+    stream volume."""
+    from codeclone_spark.operators.rules import DUR_BIN_EDGES, _hist_expr
+    from codeclone_spark.plans import baseline as bl
+
+    snapshot, trust = bl.load_baseline(baseline_path)
+    if not trust.trusted:
+        raise ValueError(f"untrusted baseline for drift monitor: {trust.reason}")
+    b_hist = snapshot["histograms"]["dur_ms"]["counts"]
+
+    stream = (
+        spark.readStream.schema(CLIPS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(clips_stream_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        row = batch_df.agg(
+            _hist_expr("dur_ms", DUR_BIN_EDGES).alias("h"),
+            F.count(F.lit(1)).alias("rows"),
+        ).collect()[0]
+        hist = [int(x) for x in row["h"]]
+        psi = bl.psi(b_hist, hist)
+        out = spark.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    int(row["rows"]),
+                    "drift:psi:dur_ms",
+                    round(float(psi), 6),
+                    bool(psi <= psi_max),
+                )
+            ],
+            "batch_id long, rows long, rule_id string, psi double, pass boolean",
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_violation_counts(
     violations: DataFrame, ts_col: str = "ts", window: str = "1 hour"
 ) -> DataFrame:

@@ -95,3 +95,62 @@ def test_stateful_stream_dedup_first_seen(spark, tmp_path):
     assert b_rows[-1]["seen_before"] >= 1
     # c, d: never duplicated
     assert not any(r["is_duplicate"] for r in by_key["c"] + by_key["d"])
+
+
+def test_stream_drift_monitor(spark, tiny_dir, tmp_path):
+    """Per-micro-batch PSI vs the persisted baseline: self-baseline passes
+    with near-zero drift; a shifted baseline trips every batch verdict."""
+    import json
+
+    from codeclone_spark.plans import baseline as bl
+    from codeclone_spark.plans.runner import RunConfig, run
+    from codeclone_spark.streaming import stream_drift_monitor
+
+    base = str(tmp_path / "baseline.json")
+    run(
+        spark,
+        RunConfig(
+            data_dir=tiny_dir, out_dir=str(tmp_path / "accept"),
+            baseline_path=base, update_baseline=True,
+        ),
+    )
+    out, ckpt = str(tmp_path / "drift"), str(tmp_path / "ckpt")
+    q = stream_drift_monitor(
+        spark, f"{tiny_dir}/clips", base, out, ckpt, trigger_once=True
+    )
+    assert q.awaitTermination(300)
+    rows = spark.read.parquet(out).collect()
+    assert rows and all(r["pass"] for r in rows)
+    assert all(r["psi"] <= 0.05 for r in rows)
+    assert sum(r["rows"] for r in rows) == 2004  # every clip scored once
+
+    # shift the baseline histogram -> every batch fails the gate
+    doc = json.load(open(base))
+    counts = doc["histograms"]["dur_ms"]["counts"]
+    doc["histograms"]["dur_ms"]["counts"] = counts[::-1]
+    payload = {
+        k: doc[k]
+        for k in (
+            "stats", "histograms", "uniqueness", "accepted_violations",
+            "schema", "accepted_ref",
+        )
+    }
+    doc["meta"]["payload_sha256"] = bl.payload_sha256(payload)
+    json.dump(doc, open(base, "w"))
+    out2, ckpt2 = str(tmp_path / "drift2"), str(tmp_path / "ckpt2")
+    q2 = stream_drift_monitor(
+        spark, f"{tiny_dir}/clips", base, out2, ckpt2, trigger_once=True
+    )
+    assert q2.awaitTermination(300)
+    rows2 = spark.read.parquet(out2).collect()
+    assert rows2 and all(not r["pass"] for r in rows2)
+
+    # untrusted baseline fails closed before starting the stream
+    doc["meta"]["payload_sha256"] = "0" * 64
+    json.dump(doc, open(base, "w"))
+    import pytest
+
+    with pytest.raises(ValueError, match="untrusted baseline"):
+        stream_drift_monitor(
+            spark, f"{tiny_dir}/clips", base, out2, ckpt2, trigger_once=True
+        )
