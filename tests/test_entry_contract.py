@@ -18,6 +18,8 @@ def test_registry_shape():
     assert set(qs) - set(osql) == {
         "validation_violations",  # full engine run (audio decode)
         "stream_dedup_updates",  # stateful streaming (cross-batch state)
+        "multimodal_image_stats",  # zlib+pixel decode (snpi container)
+        "multimodal_video_stats",  # frame-index demux + frame decode
     }
 
 
