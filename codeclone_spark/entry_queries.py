@@ -1344,7 +1344,9 @@ def multimodal_video_stats(spark: SparkSession, sf: str) -> DataFrame:
                  "codec": ["snpv"] * len(ids)}
             )
 
-    docs = _t(spark, sf, "documents").select("doc_id").limit(500)
+    # orderBy before limit: LIMIT without ORDER BY is not deterministic
+    # across file-split changes, and this rows-only query's count is pinned
+    docs = _t(spark, sf, "documents").select("doc_id").orderBy("doc_id").limit(500)
     blobs = docs.mapInPandas(
         synth, schema="item_id string, payload binary, codec string"
     )

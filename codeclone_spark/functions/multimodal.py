@@ -72,7 +72,9 @@ def _bounded_inflate(data: bytes, expect: int) -> bytes:
     pixels)."""
     d = zlib.decompressobj()
     out = d.decompress(data, expect + 1)
-    if len(out) != expect or not d.eof or d.unconsumed_tail:
+    # unused_data: bytes past a COMPLETE stream (trailing garbage) — rejected
+    # for parity with demux_snpv's "trailing garbage after last frame"
+    if len(out) != expect or not d.eof or d.unconsumed_tail or d.unused_data:
         raise ValueError(f"inflated size != expected {expect}")
     return out
 
@@ -255,12 +257,15 @@ def sample_frame_indices(n_frames: int, fps: float, every_s: float = 1.0,
     return idxs
 
 
-def _gated_av_demux(payload: bytes):  # pragma: no cover - lib absent here
+def _gated_av_demux(payload: bytes):
     try:
         import av  # noqa: F401
     except ImportError as e:
         raise LookupError("codec_unavailable") from e
-    raise NotImplementedError("wire PyAV container demux here")
+    # PyAV importable but demux not wired yet: still the ENGINE's gap, not
+    # the payload's — must surface as error_kind='codec_unavailable', never
+    # as undecodable:* (the payload may be fine) nor as a task failure.
+    raise LookupError("codec_unavailable: PyAV demux not wired")
 
 
 def video_facts_map_in_pandas(

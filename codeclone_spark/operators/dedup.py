@@ -175,9 +175,14 @@ def lsh_candidate_pairs(
     was suppressed — a hot bucket is itself a dedup finding (one exact-dup
     group), better handled by the exact pass than by a quadratic join.
 
-    Plan shape: ONE shuffle (groupBy band+key with map-side combine into
-    bounded id arrays — the cap bounds every array at *max_bucket*), then
-    pairs unfold from each bucket via a double explode.  The expensive
+    Plan shape: ONE shuffle (groupBy band+key with map-side combine into id
+    arrays), then pairs unfold from each bucket via a double explode.  The
+    cap bounds the PAIR OUTPUT, not the aggregation buffer: collect_list
+    materializes each bucket fully before the size filter runs, so one
+    degenerate key of d ids still builds one O(d) array in a single buffer
+    (fine up to millions of ids; an adversarial corpus would pre-filter hot
+    keys with a count-aggregate + anti-join at the cost of a second pass
+    over the signatures).  The expensive
     shingle+MinHash pipeline is consumed exactly once BY CONSTRUCTION — no
     self-join, so no localCheckpoint / scratch-table materialization, full
     recompute lineage on executor loss, and no Window pre-pass (the size

@@ -122,6 +122,11 @@ RULE_SPECS: dict[str, RuleSpec] = {
         "Relative delta of p50/p95/p99 vs baseline exceeds the gate.",
         "warning", "drift",
     ),
+    "drift:quantile:rms": RuleSpec(
+        "CCSV020", "rms quantile drift",
+        "Relative delta of decoded-PCM RMS p50/p95/p99 vs baseline exceeds "
+        "the gate.", "warning", "drift",
+    ),
     "schema:removed": RuleSpec(
         "CCSV014", "Schema column removed",
         "A column present in the baseline schema is gone (breaking).",

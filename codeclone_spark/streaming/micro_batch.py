@@ -9,6 +9,8 @@ append — same plan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -43,8 +45,15 @@ def stream_validate(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         joined = batch_df.join(fixtures, "clip_id", "left")
         facts = joined.mapInPandas(facts_map_in_pandas, schema=FACTS_OUT_SCHEMA)
-        viol = evaluate_row_rules(facts).withColumn("batch_id", F.lit(batch_id))
-        viol.write.mode("append").parquet(out_dir)
+        viol = evaluate_row_rules(facts)
+        # Idempotent sink: foreachBatch is at-least-once, so a retried batch
+        # is reprocessed under the SAME batch_id — writing each batch to its
+        # own batch_id=<id> partition dir with overwrite makes the retry a
+        # no-op instead of an append-duplication (the reader recovers
+        # batch_id via partition discovery).
+        viol.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={int(batch_id)}")
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
@@ -96,16 +105,20 @@ def stream_drift_monitor(
         out = spark.createDataFrame(
             [
                 (
-                    int(batch_id),
                     int(row["rows"]),
                     "drift:psi:dur_ms",
                     round(float(psi), 6),
                     bool(psi <= psi_max),
                 )
             ],
-            "batch_id long, rows long, rule_id string, psi double, pass boolean",
+            "rows long, rule_id string, psi double, pass boolean",
         )
-        out.write.mode("append").parquet(out_dir)
+        # idempotent per-batch partition sink (see stream_validate): a
+        # foreachBatch retry overwrites its own batch_id dir, never appends
+        # duplicate verdict rows
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={int(batch_id)}")
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

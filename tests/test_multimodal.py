@@ -37,6 +37,14 @@ def test_snpi_roundtrip_exact():
     assert np.array_equal(out, img)
 
 
+def test_snpi_trailing_garbage_rejected():
+    # bytes after a COMPLETE zlib stream must fail like snpv's trailing-
+    # garbage guard (zlib exposes them as decompressobj.unused_data)
+    blob = encode_snpi(_rgb(9, 4, 4))
+    with pytest.raises(ValueError):
+        decode_snpi(blob + b"zz")
+
+
 def test_snpi_guards():
     img = _rgb(1, 4, 4)
     blob = encode_snpi(img)
@@ -142,6 +150,34 @@ def test_video_frame_sampling_policy():
     assert len(idxs) == 16 and idxs == sorted(set(idxs))
     # degenerate fps
     assert sample_frame_indices(5, 0.4) == [0, 1, 2, 3, 4]
+
+
+def test_gated_codecs_error_row_even_when_lib_imports(monkeypatch):
+    """If PyAV/PIL become importable but the decode path is unwired (or the
+    import is a stub), the row must still carry error_kind=
+    'codec_unavailable' — never undecodable:* and never a task failure."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    monkeypatch.setitem(sys.modules, "av", types.ModuleType("av"))
+    pdf = pd.DataFrame(
+        {"item_id": ["v1"], "payload": [b"\x00" * 64], "codec": ["h264"]}
+    )
+    (out,) = list(video_facts_map_in_pandas(iter([pdf])))
+    assert out.loc[0, "error_kind"] == "codec_unavailable"
+    assert not out.loc[0, "decode_ok"]
+
+    # PIL stub whose Image.open raises ImportError-adjacent failure paths is
+    # out of scope; but a missing PIL must keep yielding the honest gate
+    monkeypatch.delitem(sys.modules, "PIL", raising=False)
+    ipdf = pd.DataFrame(
+        {"item_id": ["i1"], "payload": [b"\x89PNG" + b"\x00" * 8],
+         "format": ["png"]}
+    )
+    (iout,) = list(image_facts_map_in_pandas(iter([ipdf])))
+    assert iout.loc[0, "error_kind"] == "codec_unavailable"
 
 
 def test_video_facts_stage(spark):

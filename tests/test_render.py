@@ -9,7 +9,12 @@ import os
 
 import pytest
 
-from codeclone_spark.operators.rules import ROW_RULE_IDS, TABLE_RULE_IDS
+from codeclone_spark.operators.rules import (
+    DRIFT_RULE_IDS,
+    ROW_RULE_IDS,
+    SCHEMA_RULE_IDS,
+    TABLE_RULE_IDS,
+)
 from codeclone_spark.plans.render import (
     RULE_SPECS,
     render_markdown,
@@ -24,7 +29,14 @@ GOLDEN_SARIF = os.path.join(
 
 
 def test_every_engine_rule_has_a_stable_sarif_id():
-    ids = [RULE_SPECS[r].sarif_id for r in ROW_RULE_IDS + TABLE_RULE_IDS]
+    # EVERY rule that can appear in a verdict or violation row must map to
+    # a stable external id — row, table, drift AND schema rules (a failed
+    # drift gate rendering as the CCSV999 fallback would break the external
+    # rule-id contract).
+    all_rules = ROW_RULE_IDS + TABLE_RULE_IDS + DRIFT_RULE_IDS + SCHEMA_RULE_IDS
+    missing = [r for r in all_rules if r not in RULE_SPECS]
+    assert not missing, f"rules without a RuleSpec: {missing}"
+    ids = [RULE_SPECS[r].sarif_id for r in all_rules]
     assert len(ids) == len(set(ids))  # no duplicates
     assert all(i.startswith("CCSV") for i in ids)
     # fallback never collides with a mapped id

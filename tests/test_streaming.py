@@ -124,6 +124,21 @@ def test_stream_drift_monitor(spark, tiny_dir, tmp_path):
     assert all(r["psi"] <= 0.05 for r in rows)
     assert sum(r["rows"] for r in rows) == 2004  # every clip scored once
 
+    # Idempotent sink layout: one batch_id=<id> dir per micro-batch, written
+    # with overwrite — a foreachBatch retry (at-least-once) re-running the
+    # same batch_id replaces its own dir instead of appending duplicates.
+    assert any(d.startswith("batch_id=") for d in os.listdir(out))
+    n_before = spark.read.parquet(out).count()
+    one = spark.createDataFrame(
+        [(1, "drift:psi:dur_ms", 0.0, True)],
+        "rows long, rule_id string, psi double, pass boolean",
+    )
+    bdir = os.path.join(
+        out, sorted(d for d in os.listdir(out) if d.startswith("batch_id="))[0]
+    )
+    one.write.mode("overwrite").parquet(bdir)  # simulate the batch retry
+    assert spark.read.parquet(out).count() == n_before
+
     # shift the baseline histogram -> every batch fails the gate
     doc = json.load(open(base))
     counts = doc["histograms"]["dur_ms"]["counts"]
