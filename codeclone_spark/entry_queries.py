@@ -735,7 +735,10 @@ def dedup_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _lsh_sql() -> str:
+def _lsh_cands_cte() -> str:
+    """Shared CTE prefix ending in ``cands(id_a, id_b)`` — the banded,
+    bucket-capped LSH candidate pairs (used by the candidate query itself
+    and by the composed LSH→exact-verify oracle)."""
     mins = _mh_mins_sql()
     n_bands = dd.MINHASH_K // 2
     band_rows = ", ".join(
@@ -752,11 +755,15 @@ kept AS (
   SELECT band, key FROM banded GROUP BY band, key
   HAVING count(*) <= {_LSH_MAX_BUCKET}
 ),
-pruned AS (SELECT banded.* FROM banded JOIN kept USING (band, key))
-SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM pruned a JOIN pruned b ON a.band = b.band AND a.key = b.key AND a.id < b.id
-ORDER BY id_a, id_b
-"""
+pruned AS (SELECT banded.* FROM banded JOIN kept USING (band, key)),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM pruned a JOIN pruned b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)"""
+
+
+def _lsh_sql() -> str:
+    return _lsh_cands_cte() + "\nSELECT id_a, id_b FROM cands ORDER BY id_a, id_b"
 
 
 def dedup_lsh_suppressed(spark: SparkSession, sf: str) -> DataFrame:
@@ -807,6 +814,39 @@ FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
 WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
 ORDER BY id_a, id_b
 """
+
+
+def dedup_lsh_verified_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed dedup ladder (reference cheap→exact segment grouping,
+    findings/clones/grouping.py:62-86): LSH-banded candidate pairs, then
+    exact n-gram Jaccard computed ONLY over the candidate-confined shingle
+    index — the 100 TB-safe form of dedup_jaccard_pairs."""
+    d = _t(spark, sf, "documents")
+    return dd.lsh_verified_pairs(
+        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def _lsh_verified_sql() -> str:
+    return (
+        _lsh_cands_cte()
+        + """,
+cids AS (SELECT id_a AS id FROM cands UNION SELECT id_b AS id FROM cands),
+csh AS (SELECT sh.id, sh.shingle FROM sh JOIN cids USING (id)),
+sizes AS (SELECT id, count(*) AS sz FROM csh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.id < b.id
+  JOIN cands c ON c.id_a = a.id AND c.id_b = b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+ORDER BY id_a, id_b
+"""
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -1418,6 +1458,9 @@ def build_registry() -> dict[str, QueryDef]:
         "dedup_lsh_pairs": QueryDef(dedup_lsh_pairs, _lsh_sql()),
         "dedup_lsh_suppressed": QueryDef(dedup_lsh_suppressed, _lsh_suppressed_sql()),
         "dedup_jaccard_pairs": QueryDef(dedup_jaccard_pairs, _jaccard_sql()),
+        "dedup_lsh_verified_pairs": QueryDef(
+            dedup_lsh_verified_pairs, _lsh_verified_sql()
+        ),
         "dedup_simhash": QueryDef(dedup_simhash, _simhash_sql()),
         "dedup_embedding_cosine": QueryDef(dedup_embedding_cosine, EMB_NEARDUP_SQL),
         "sim_cosine_topk": QueryDef(sim_cosine_topk, SIM_TOPK_SQL),

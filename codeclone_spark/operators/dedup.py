@@ -265,6 +265,83 @@ def jaccard_pairs(
     return res
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SHINGLE_K,
+    n_hashes: int = MINHASH_K,
+    band_size: int = 2,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """The COMPOSED dedup ladder: cheap LSH banding proposes candidate
+    pairs, exact n-gram Jaccard verifies ONLY those candidates — the
+    reference's cheap-key-then-exact-key segment grouping
+    (``findings/clones/grouping.py:62-86``) as one pipeline.
+
+    This is the scale-safe form of :func:`jaccard_pairs`: the inverted
+    shingle index is confined by TWO semi-joins before any quadratic work —
+    (1) the index keeps only candidate documents' shingles, so a
+    high-document-frequency shingle (boilerplate / stop-shingle) fans out
+    over the candidate subset, not the whole corpus; (2) the per-shingle
+    pair stream keeps only actual candidate pairs BEFORE the intersection
+    groupBy, so reducer keys are bounded by the LSH output (itself
+    bucket-capped) instead of O(d²).  Both confining frames are broadcast —
+    the candidate set is output-bounded by construction (``max_bucket``
+    caps every bucket's pair fan-out).
+
+    The MinHash pipeline appears under both candidate consumers; its
+    shuffle exchanges are identical subplans, so Spark reuses them
+    (ReusedExchange) instead of recomputing — full lineage, no checkpoint.
+
+    Returns (id_a, id_b, jaccard) for candidates with exact Jaccard >=
+    *threshold*; a pair LSH never proposed is absent even if its true
+    similarity clears the threshold (the usual LSH recall trade-off —
+    banding parameters set the recall floor)."""
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, k, n_hashes, band_size, max_bucket
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = char_shingles(df, id_col, text_col, k)  # set semantics (Jaccard)
+    sh = sh.join(F.broadcast(cand_ids), "id", "semi")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .join(F.broadcast(cands), ["id_a", "id_b"], "semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-document SimHash over whitespace tokens: per-bit majority vote of
     60-bit token hashes.  Expressed as one explode + one groupBy with *bits*

@@ -64,6 +64,25 @@ def test_jaccard_pairs(docs):
     assert (1, 4) not in rows
 
 
+def test_lsh_verified_pairs_composes_ladder(docs):
+    """Composed ladder = exact-Jaccard survivors among LSH candidates."""
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.lsh_verified_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert set(got) <= cands
+    assert got == {p: j for p, j in exact.items() if p in cands}
+    assert got[(1, 2)] == 1.0
+
+
 def test_simhash_close_for_neardups(docs):
     s = {r["id"]: r["simhash"] for r in dd.simhash(docs, "doc_id", "text").collect()}
     assert s[1] == s[2]

@@ -93,6 +93,27 @@ def test_row_rules_are_single_pass_no_shuffle(spark, tiny_dir):
     assert "Generate explode" in body or "Generate" in body
 
 
+def test_lsh_verified_pairs_index_is_candidate_confined(spark):
+    """The composed LSH→exact-verify plan must confine the inverted shingle
+    index with broadcast semi-joins (candidate docs, then candidate pairs)
+    BEFORE the quadratic shingle self-join — the property that keeps exact
+    verification off the full corpus at 100 TB."""
+    from codeclone_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"shared boilerplate text block number {i % 3}") for i in range(24)],
+        ["doc_id", "text"],
+    )
+    body = _plan(dd.lsh_verified_pairs(docs, "doc_id", "text")).split(
+        "== Physical Plan =="
+    )[-1]
+    # two confinement semi-joins: shingle index ⋉ candidate ids,
+    # pair stream ⋉ candidate pairs — both broadcast
+    assert body.count("LeftSemi") >= 2
+    assert "BroadcastHashJoin" in body
+    assert "CartesianProduct" not in body
+
+
 def test_filter_pushdown_to_parquet(spark, tiny_dir):
     clips = read_clips(spark, tiny_dir)
     q = clips.filter(F.col("sr_hz") == 16000).select("clip_id")
