@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="RULE:PART",
                    help="suppress new violations of RULE in partition PART"
                         " ('*' = all partitions); repeatable")
+    r.add_argument("--iceberg-table", default=None, metavar="CAT.DB.TBL",
+                   help="Iceberg identifier of the clips table: resume "
+                        "validity then keys on the table snapshot id "
+                        "(one catalog call) instead of local file mtimes")
     r.add_argument("--cores", type=int, default=None)
     r.add_argument("--render", default=None, metavar="FMT[,FMT]",
                    help="also render report.md / report.sarif from the "
@@ -111,6 +115,7 @@ def main(argv: list[str] | None = None) -> int:
                 force_smj=args.force_smj,
                 test_lane_pattern=args.test_lane_pattern,
                 suppressions=list(args.suppress),
+                iceberg_table=args.iceberg_table,
                 gates=GateConfig(max_count=max_count),
             ),
         )

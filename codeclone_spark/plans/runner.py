@@ -95,6 +95,12 @@ class RunConfig:
     # Matching NEW violations are treated as accepted debt for gating —
     # still reported, counted under findings.suppressed_by_directive.
     suppressions: list[str] = field(default_factory=list)
+    # Iceberg catalog identifier of the clips table (e.g. "cat.db.clips").
+    # When set AND an Iceberg catalog is live, resume validity uses the
+    # table's current snapshot id (one catalog call for all partitions)
+    # instead of the local file-metadata fold — object stores don't provide
+    # the stable mtimes the local fold depends on.
+    iceberg_table: str | None = None
     # Per-(rule, partition) violation exemplar cap: a pathological table
     # (e.g. an all-null column at 10^12 rows) must not materialize 10^12
     # violation rows.  Gate counts/verdicts/report totals use TRUE pre-cap
@@ -229,7 +235,21 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     # against the SAME accepted set (reference cache-probe semantics,
     # core/discovery.py:118-190: a cache hit requires the content signature
     # to match, not just the key to exist).
-    data_sigs = {p: partition_data_signature(clips_root, p) for p in all_parts}
+    # Signature source: a live Iceberg catalog supplies ONE table-wide
+    # snapshot id (immutable; any commit changes it) — the authoritative
+    # content signature on the production target, where file mtimes are
+    # meaningless.  Otherwise fold local (name, size, mtime_ns) triples per
+    # partition (plans/ledger.py).
+    snap_sig = None
+    if cfg.iceberg_table:
+        from codeclone_spark.sources import iceberg as _ice
+
+        snap_sig = _ice.snapshot_data_signature(spark, cfg.iceberg_table)
+    data_sigs = (
+        {p: snap_sig for p in all_parts}
+        if snap_sig is not None
+        else {p: partition_data_signature(clips_root, p) for p in all_parts}
+    )
     # Baseline identity for the ledger's known/new split validity: sidecar
     # baselines carry their own streamed sha, inline sets hash here.
     accepted_sha = (

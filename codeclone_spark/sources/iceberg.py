@@ -62,3 +62,15 @@ def current_snapshot_id(spark: SparkSession, identifier: str) -> int | None:
         "ORDER BY committed_at DESC LIMIT 1"
     ).collect()
     return int(rows[0]["snapshot_id"]) if rows else None
+
+
+def snapshot_data_signature(spark: SparkSession, identifier: str) -> str | None:
+    """Resume-validity signature from the table's current snapshot: ONE
+    catalog call covers EVERY partition (Iceberg snapshots are table-wide
+    and immutable — any data change produces a new snapshot id, which is
+    exactly the reference's cache content-signature probe,
+    core/discovery.py:118-190, at catalog granularity).  Returns None when
+    no catalog is configured or the table has no snapshots yet — the caller
+    falls back to the local per-partition file-metadata fold."""
+    sid = current_snapshot_id(spark, identifier)
+    return None if sid is None else f"snap:{sid}"
