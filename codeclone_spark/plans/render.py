@@ -152,7 +152,13 @@ def rule_spec(rule_id: str) -> RuleSpec:
 
 def _iter_violation_rows(violations_path: str) -> Iterator[dict[str, Any]]:
     """Stream violation exemplar rows from the parquet sink via pyarrow
-    (bounded by the exemplar cap; no Spark needed to render)."""
+    (bounded by the exemplar cap; no Spark needed to render).  Handles both
+    sink layouts: flat files, and the cluster-scale ``rule_id=<val>``
+    hive-partitioned layout (RunConfig.partitioned_sinks), where the
+    partition column lives percent-encoded in the directory name instead
+    of the data file."""
+    from urllib.parse import unquote
+
     import pyarrow.parquet as pq
 
     files = []
@@ -161,9 +167,15 @@ def _iter_violation_rows(violations_path: str) -> Iterator[dict[str, Any]]:
             if n.endswith(".parquet") and not n.startswith((".", "_")):
                 files.append(os.path.join(dirpath, n))
     for fp in sorted(files):
+        part_cols = {
+            k: unquote(v)
+            for seg in os.path.relpath(fp, violations_path).split(os.sep)[:-1]
+            if "=" in seg
+            for k, v in (seg.split("=", 1),)
+        }
         for batch in pq.ParquetFile(fp).iter_batches():
             for row in batch.to_pylist():
-                yield row
+                yield {**part_cols, **row}
 
 
 def render_sarif(

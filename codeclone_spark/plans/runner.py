@@ -101,6 +101,13 @@ class RunConfig:
     # instead of the local file-metadata fold — object stores don't provide
     # the stable mtimes the local fold depends on.
     iceberg_table: str | None = None
+    # Final report sinks: False (default) writes one deterministically
+    # sorted file per sink (golden-stable local layout); True partitions
+    # both sinks by rule_id so the write fans out across tasks — at 10^6
+    # partitions the dense verdict grid is O(partitions x rules) rows and
+    # must not funnel through one writer.  The run digest is per-rule and
+    # layout-independent either way (verified equal in tests).
+    partitioned_sinks: bool = False
     # Per-(rule, partition) violation exemplar cap: a pathological table
     # (e.g. an all-null column at 10^12 rows) must not materialize 10^12
     # violation rows.  Gate counts/verdicts/report totals use TRUE pre-cap
@@ -745,15 +752,37 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     # --- stage 6: canonical, deterministically-ordered outputs
     violations_path = os.path.join(cfg.out_dir, "violations")
     verdicts_path = os.path.join(cfg.out_dir, "verdicts")
-    # repartition(1)+sortWithinPartitions = deterministic total order without
-    # orderBy's range-sampling pre-job.  Violations/verdicts are tiny report
-    # tables; at cluster scale you'd partition the sink by rule_id instead.
-    final_viol = all_viol.repartition(1).sortWithinPartitions(
-        "rule_id", "partition", "clip_id", "observed"
-    )
-    final_verd = verdicts.repartition(1).sortWithinPartitions("partition", "rule_id")
-    final_viol.write.mode("overwrite").parquet(violations_path)
-    final_verd.write.mode("overwrite").parquet(verdicts_path)
+    if cfg.partitioned_sinks:
+        # Cluster-scale sink shape: hash-distribute rows by rule_id
+        # (Exchange hashpartitioning, never SinglePartition) and write a
+        # rule_id=<id> directory per rule — parallel writers, and downstream
+        # per-rule consumers prune at the directory level.  Rows stay
+        # deterministically sorted WITHIN each rule; the run digest folds
+        # per-rule digests, so it is independent of this layout change.
+        (
+            all_viol.repartition(F.col("rule_id"))
+            .sortWithinPartitions("rule_id", "partition", "clip_id", "observed")
+            .write.partitionBy("rule_id")
+            .mode("overwrite")
+            .parquet(violations_path)
+        )
+        (
+            verdicts.repartition(F.col("rule_id"))
+            .sortWithinPartitions("rule_id", "partition")
+            .write.partitionBy("rule_id")
+            .mode("overwrite")
+            .parquet(verdicts_path)
+        )
+    else:
+        # repartition(1)+sortWithinPartitions = deterministic total order
+        # without orderBy's range-sampling pre-job; right for the tiny
+        # report tables a single-tenant run produces.
+        all_viol.repartition(1).sortWithinPartitions(
+            "rule_id", "partition", "clip_id", "observed"
+        ).write.mode("overwrite").parquet(violations_path)
+        verdicts.repartition(1).sortWithinPartitions(
+            "partition", "rule_id"
+        ).write.mode("overwrite").parquet(verdicts_path)
     _mark("final_writes")
 
     final_viol = spark.read.parquet(violations_path)

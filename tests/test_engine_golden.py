@@ -88,6 +88,52 @@ def test_verdict_grid_dense(spark, tiny_run, tiny_manifest):
     assert novel <= {"new", "known"}
 
 
+def test_partitioned_sinks_same_digest_parallel_layout(
+    spark, tiny_dir, tiny_run, tmp_path_factory
+):
+    """RunConfig.partitioned_sinks fans the final violation/verdict writes
+    out across rule_id directories (no single-task funnel) while the
+    per-rule run digest — layout-independent by construction — stays
+    bit-identical to the single-file layout's."""
+    out = str(tmp_path_factory.mktemp("psinks"))
+    res = run(
+        spark,
+        RunConfig(data_dir=tiny_dir, out_dir=out, partitioned_sinks=True),
+    )
+    # parallel layout: one rule_id=<val> dir per rule that produced rows
+    vdirs = [
+        d for d in os.listdir(res.violations_path) if d.startswith("rule_id=")
+    ]
+    assert len(vdirs) > 1
+    assert any(
+        d.startswith("rule_id=") for d in os.listdir(res.verdicts_path)
+    )
+    # identical run identity and findings vs the default-layout tiny_run
+    assert (
+        res.report["integrity"]["run_digest"]
+        == tiny_run.report["integrity"]["run_digest"]
+    )
+    assert res.report["findings"]["by_rule"] == tiny_run.report["findings"]["by_rule"]
+    assert res.report["findings"]["failed_gates"] == (
+        tiny_run.report["findings"]["failed_gates"]
+    )
+    # read-back recovers rule_id (partition column) with full fidelity
+    viol = spark.read.parquet(res.violations_path)
+    assert viol.count() == spark.read.parquet(tiny_run.violations_path).count()
+    got_rules = {r["rule_id"] for r in viol.select("rule_id").distinct().collect()}
+    assert "audio:undecodable" in got_rules  # ':' survives dir-name escaping
+    # the driver-side SARIF renderer recovers rule_id from the dir layout
+    from codeclone_spark.plans.render import render_outputs
+
+    (sarif_path,) = render_outputs(out, ["sarif"])
+    results = json.load(open(sarif_path))["runs"][0]["results"]
+    n_expected = res.report["findings"]["total_violations"] + len(
+        res.report["findings"]["failed_gates"]
+    )
+    assert len(results) == n_expected
+    assert all(r["properties"]["rule_id"] for r in results)
+
+
 def test_baseline_accept_then_green(spark, tiny_dir, tmp_path_factory):
     out1 = str(tmp_path_factory.mktemp("bl_write"))
     base = os.path.join(out1, "baseline.json")
