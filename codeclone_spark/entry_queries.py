@@ -1140,6 +1140,33 @@ def clips_sr_stats_by_part(spark: SparkSession, sf: str) -> DataFrame:
 CLIPS_SR_STATS_SQL = _column_stats_sql("sr_hz", "sr")
 
 
+def clips_flatness_stats_by_part(spark: SparkSession, sf: str) -> DataFrame:
+    """spectral_flatness instance of the stats family — the THIRD registry
+    column (rules.NUMERIC_STATS_COLUMNS).  Decode-derived, so no SQL
+    oracle (DuckDB cannot decode audio); the full frame is golden-pinned
+    in tests/golden instead.  Flatness is quantized to e6 integers PER ROW
+    before aggregation so the sums are integer (order-independent —
+    deterministic across partition layouts), mirroring the e4 contract of
+    the raw-column stats quartets."""
+    from codeclone_spark.plans.facts import decode_stage, read_clips
+
+    c = read_clips(spark, clips_dir_for(sf))
+    f_e6 = F.round(F.col("spectral_flatness") * 1e6).cast("long")
+    return (
+        decode_stage(c)
+        .select("part", f_e6.alias("f"))
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("f").isNull().cast("long")).alias("flat_null"),
+            F.min("f").alias("flat_min_e6"),
+            F.max("f").alias("flat_max_e6"),
+            F.expr("sum(f) div greatest(count(f), 1L)").alias("flat_mean_e6"),
+        )
+        .orderBy("part")
+    )
+
+
 CLIPS_STATS_SQL = _column_stats_sql("dur_ms", "dur")
 
 
@@ -1472,6 +1499,7 @@ def build_registry() -> dict[str, QueryDef]:
         "clips_sr_stats_by_part": QueryDef(
             clips_sr_stats_by_part, CLIPS_SR_STATS_SQL
         ),
+        "clips_flatness_stats_by_part": QueryDef(clips_flatness_stats_by_part, None),
         "clips_dur_quantiles": QueryDef(clips_dur_quantiles, CLIPS_DURQ_SQL),
         "schema_evolution_clips": QueryDef(schema_evolution_clips, SCHEMA_EVOLUTION_SQL),
         "clips_dup_ids": QueryDef(clips_dup_ids, CLIPS_DUP_SQL),

@@ -193,6 +193,7 @@ RULE_SEVERITY = {
     "drift:psi:sr_hz": "warn",
     "drift:quantile:dur_ms": "warn",
     "drift:quantile:rms": "warn",
+    "drift:quantile:spectral_flatness": "warn",
     "schema:removed": "error",
     "schema:type_change": "error",
 }
@@ -202,6 +203,7 @@ DRIFT_RULE_IDS = [
     "drift:psi:sr_hz",
     "drift:quantile:dur_ms",
     "drift:quantile:rms",
+    "drift:quantile:spectral_flatness",
 ]
 # schema-evolution verdicts vs the baseline snapshot (breaking changes only;
 # added columns are informational, reported not gated)
@@ -235,6 +237,12 @@ NUMERIC_STATS_COLUMNS: tuple[NumericColSpec, ...] = (
     NumericColSpec("dur_ms", float(QSK_BIN_MS), QSK_NBINS),
     # decoded-PCM RMS lives in [0, ~1]: 1/128 resolution + overflow
     NumericColSpec("rms", 1.0 / 128.0, 130),
+    # spectral flatness lives in [0, 1]: same 1/128 lattice + overflow.
+    # Third registry column: adding it costs ZERO extra wave jobs
+    # (qsketch_counts_multi folds all columns into one aggregation —
+    # asserted by test_plans_physical) — only this declaration plus a
+    # SARIF id for its drift gate.
+    NumericColSpec("spectral_flatness", 1.0 / 128.0, 130),
 )
 # every registry column carries a quantile-drift gate
 assert all(

@@ -127,6 +127,11 @@ RULE_SPECS: dict[str, RuleSpec] = {
         "Relative delta of decoded-PCM RMS p50/p95/p99 vs baseline exceeds "
         "the gate.", "warning", "drift",
     ),
+    "drift:quantile:spectral_flatness": RuleSpec(
+        "CCSV021", "spectral flatness quantile drift",
+        "Relative delta of decoded-PCM spectral-flatness p50/p95/p99 vs "
+        "baseline exceeds the gate.", "warning", "drift",
+    ),
     "schema:removed": RuleSpec(
         "CCSV014", "Schema column removed",
         "A column present in the baseline schema is gone (breaking).",

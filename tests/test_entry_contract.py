@@ -20,7 +20,14 @@ def test_registry_shape():
         "stream_dedup_updates",  # stateful streaming (cross-batch state)
         "multimodal_image_stats",  # zlib+pixel decode (snpi container)
         "multimodal_video_stats",  # frame-index demux + frame decode
+        "clips_flatness_stats_by_part",  # decode-derived stats column
     }
+    # every rows-only query is golden-pinned to its exact frame in pytest
+    # (tests/test_rows_only_golden.py) — "rows-only" is a driver
+    # limitation, not a weaker engine contract
+    from test_rows_only_golden import ROWS_ONLY
+
+    assert set(qs) - set(osql) == set(ROWS_ONLY)
 
 
 @pytest.mark.parametrize("clause", ["syntax"])

@@ -93,6 +93,36 @@ def test_row_rules_are_single_pass_no_shuffle(spark, tiny_dir):
     assert "Generate explode" in body or "Generate" in body
 
 
+def test_stats_registry_width_adds_zero_wave_jobs(spark):
+    """qsketch_counts_multi's claim: EVERY registry column's quantile
+    sketch folds into ONE wave job — adding a NumericColSpec (e.g. the
+    round-4 spectral_flatness) must not change the Spark job count of the
+    sketch pass."""
+    from codeclone_spark.operators.rules import (
+        NUMERIC_STATS_COLUMNS,
+        qsketch_counts_multi,
+    )
+
+    assert len(NUMERIC_STATS_COLUMNS) >= 3  # dur_ms, rms, spectral_flatness
+    rows = [(f"p{i % 4}", float(i * 40), i / 100.0, i / 200.0) for i in range(64)]
+    df = spark.createDataFrame(
+        rows, "part string, dur_ms double, rms double, spectral_flatness double"
+    )
+    sc = spark.sparkContext
+
+    def jobs_for(specs, group):
+        sc.setJobGroup(group, "sketch job-count probe")
+        try:
+            qsketch_counts_multi(df, specs).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    narrow = jobs_for(NUMERIC_STATS_COLUMNS[:2], "qsk_narrow")
+    wide = jobs_for(NUMERIC_STATS_COLUMNS, "qsk_wide")
+    assert wide == narrow  # zero marginal jobs per added registry column
+
+
 def test_lsh_verified_pairs_index_is_candidate_confined(spark):
     """The composed LSH→exact-verify plan must confine the inverted shingle
     index with broadcast semi-joins (candidate docs, then candidate pairs)
