@@ -26,11 +26,12 @@ Engine contracts (versioned like the reference's
 """
 
 ENGINE_NAME = "codeclone_spark"
-ENGINE_VERSION = "0.3.0"
+ENGINE_VERSION = "0.4.0"
 
 # Versioned persisted-artifact contracts (reference: contracts/__init__.py)
 BASELINE_SCHEMA_VERSION = "1.2"
-REPORT_SCHEMA_VERSION = "1.0"
+# 1.1: adds the derived.review_queue triage section (additive)
+REPORT_SCHEMA_VERSION = "1.1"
 LEDGER_SCHEMA_VERSION = "2.0"
 
 # Exit codes (reference: contracts/__init__.py:112-116)

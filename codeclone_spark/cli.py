@@ -46,8 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(one catalog call) instead of local file mtimes")
     r.add_argument("--cores", type=int, default=None)
     r.add_argument("--render", default=None, metavar="FMT[,FMT]",
-                   help="also render report.md / report.sarif from the "
-                        "canonical report.json (formats: md, sarif)")
+                   help="also render report.md / report.sarif / report.txt "
+                        "from the canonical report.json (formats: md, "
+                        "sarif, text)")
 
     d = sub.add_parser(
         "render",

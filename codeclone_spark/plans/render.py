@@ -191,6 +191,16 @@ def render_sarif(
     sink is supplied) plus one result per failed gate."""
     used: dict[str, RuleSpec] = {}
     results: list[dict[str, Any]] = []
+    # derived.review_queue -> SARIF result `rank` (0..100, higher = triage
+    # first): results in a ranked (partition, rule) cell carry the cell's
+    # normalized severity-weighted score
+    queue = report.get("derived", {}).get("review_queue", [])
+    max_score = max((q["score"] for q in queue), default=0)
+    ranks = {
+        (q["rule_id"], q["partition"]): round(100.0 * q["score"] / max_score, 2)
+        for q in queue
+        if max_score
+    }
 
     def _result(rule_id: str, message: str, partition: str,
                 clip_id: str | None, kind_level: str | None = None) -> None:
@@ -199,12 +209,14 @@ def render_sarif(
         logical = [{"name": partition, "kind": "partition"}]
         if clip_id:
             logical.append({"name": clip_id, "kind": "member"})
+        rank = ranks.get((rule_id, partition))
         results.append(
             {
                 "ruleId": spec.sarif_id,
                 "level": kind_level or spec.level,
                 "message": {"text": message},
                 "locations": [{"logicalLocations": logical}],
+                **({"rank": rank} if rank is not None else {}),
                 "properties": {"rule_id": rule_id, "partition": partition,
                                **({"clip_id": clip_id} if clip_id else {})},
             }
@@ -301,6 +313,20 @@ def render_markdown(report: dict[str, Any]) -> str:
             )
     else:
         lines.append("none — run is green.")
+    queue = report.get("derived", {}).get("review_queue", [])
+    if queue:
+        lines += [
+            "",
+            "## Review queue (triage first)",
+            "",
+            "| # | partition | rule | new | severity | score |",
+            "|---:|---|---|---:|---|---:|",
+        ]
+        for i, q in enumerate(queue, 1):
+            lines.append(
+                f"| {i} | {q['partition']} | {q['rule_id']} | {q['n_new']} "
+                f"| {q['severity']} | {q['score']} |"
+            )
     drift = met.get("drift", {})
     if drift:
         lines += ["", "## Drift", ""]
@@ -320,10 +346,67 @@ def render_markdown(report: dict[str, Any]) -> str:
     return "\n".join(lines)
 
 
+def render_text(report: dict[str, Any]) -> str:
+    """Terminal summary — the reference's text renderer surface
+    (``report/renderers/text.py``: run summary, failed gates, top rules)
+    as a pure projection of the canonical document."""
+    inv = report.get("inventory", {})
+    fnd = report.get("findings", {})
+    met = report.get("metrics", {})
+    health = met.get("health", {})
+    bar = "=" * 64
+    lines = [
+        bar,
+        f"{ENGINE_NAME} {ENGINE_VERSION} — validation summary",
+        bar,
+        f"partitions : {inv.get('partitions', 0)} "
+        f"(resumed {inv.get('partitions_resumed', 0)}, "
+        f"test-lane {inv.get('partitions_test_lane', 0)})",
+        f"rows       : {inv.get('rows', 0)}",
+        f"violations : {fnd.get('total_violations', 0)} "
+        f"(suppressed exemplars {fnd.get('suppressed_exemplars', 0)}, "
+        f"by directive {fnd.get('suppressed_by_directive', 0)})",
+        f"health     : {health.get('score', 'n/a')} "
+        f"(grade {health.get('grade', 'n/a')})",
+        f"baseline   : "
+        f"{'trusted' if report.get('baseline', {}).get('trusted') else report.get('baseline', {}).get('reason', 'none')}",
+    ]
+    by_rule = fnd.get("by_rule", {})
+    if by_rule:
+        lines += ["", "top rules (by violation count):"]
+        top = sorted(by_rule.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        width = max(len(r) for r, _n in top)
+        for rid, n in top:
+            spec = rule_spec(rid)
+            lines.append(f"  {rid.ljust(width)}  {n:>8}  [{spec.sarif_id}]")
+    failed = fnd.get("failed_gates", [])
+    lines += ["", f"failed gates: {len(failed)}"]
+    for g in failed[:20]:
+        lines.append(f"  FAIL {g['partition']} {g['rule_id']}: {g['reason']}")
+    if len(failed) > 20:
+        lines.append(f"  ... and {len(failed) - 20} more")
+    queue = report.get("derived", {}).get("review_queue", [])
+    if queue:
+        lines += ["", "review queue (triage first):"]
+        for i, q in enumerate(queue, 1):
+            lines.append(
+                f"  {i:>2}. {q['partition']} {q['rule_id']} "
+                f"new={q['n_new']} sev={q['severity']} score={q['score']}"
+            )
+    integ = report.get("integrity", {})
+    lines += [
+        "",
+        f"run_digest {integ.get('run_digest', '')[:16]} · "
+        f"report_sha256 {integ.get('report_sha256', '')[:16]}",
+        "",
+    ]
+    return "\n".join(lines)
+
+
 def render_outputs(out_dir: str, formats: list[str]) -> list[str]:
-    """Render ``report.{md,sarif}`` next to the canonical ``report.json``.
-    Returns the written paths.  Pure file-to-file: usable long after the
-    Spark session is gone."""
+    """Render ``report.{md,sarif,txt}`` next to the canonical
+    ``report.json``.  Returns the written paths.  Pure file-to-file:
+    usable long after the Spark session is gone."""
     with open(os.path.join(out_dir, "report.json")) as f:
         report = json.load(f)
     vpath = os.path.join(out_dir, "violations")
@@ -333,6 +416,10 @@ def render_outputs(out_dir: str, formats: list[str]) -> list[str]:
             out = os.path.join(out_dir, "report.md")
             with open(out, "w") as f:
                 f.write(render_markdown(report))
+        elif fmt == "text":
+            out = os.path.join(out_dir, "report.txt")
+            with open(out, "w") as f:
+                f.write(render_text(report))
         elif fmt == "sarif":
             out = os.path.join(out_dir, "report.sarif")
             doc = render_sarif(
@@ -341,6 +428,6 @@ def render_outputs(out_dir: str, formats: list[str]) -> list[str]:
             with open(out, "w") as f:
                 json.dump(doc, f, sort_keys=True, indent=1)
         else:
-            raise ValueError(f"unknown render format {fmt!r} (md|sarif)")
+            raise ValueError(f"unknown render format {fmt!r} (md|sarif|text)")
         written.append(out)
     return written

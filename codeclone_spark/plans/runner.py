@@ -74,6 +74,10 @@ from codeclone_spark.plans.ledger import (
 
 TABLE_SCOPE = "<table>"
 
+# Ranked triage queue length (reference hotlist caps, report/suggestions.py)
+REVIEW_QUEUE_K = 10
+_SEV_WEIGHT = {"error": 3, "warn": 1}
+
 
 @dataclass
 class RunConfig:
@@ -749,6 +753,40 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     )
     verdicts = verdicts.unionByName(drift_df)
 
+    # --- derived triage queue: top-k (partition, rule) cells ranked by
+    # severity-weighted NEW-violation count (reference review-queue /
+    # hotlist surfaces, report/suggestions.py + report/document/derived.py,
+    # sorted (-count, id) like _findings_groups.py:231).  Computed as a
+    # distributed priority top-k over the counts frame — already net of
+    # suppression directives, so accepted/allowlisted debt never ranks.
+    w_map = F.create_map(
+        *[
+            x
+            for rid, sev in sorted(RULE_SEVERITY.items())
+            for x in (F.lit(rid), F.lit(_SEV_WEIGHT.get(sev, 3)))
+        ]
+    )
+    rq_rows = (
+        counts.filter(F.col("n_new") > 0)
+        .withColumn(
+            "score",
+            F.coalesce(w_map[F.col("rule_id")], F.lit(3)) * F.col("n_new"),
+        )
+        .orderBy(F.desc("score"), "partition", "rule_id")
+        .limit(REVIEW_QUEUE_K)
+        .collect()
+    )
+    review_queue = [
+        {
+            "partition": r["partition"],
+            "rule_id": r["rule_id"],
+            "n_new": int(r["n_new"]),
+            "severity": RULE_SEVERITY.get(r["rule_id"], "error"),
+            "score": int(r["score"]),
+        }
+        for r in rq_rows
+    ]
+
     # --- stage 6: canonical, deterministically-ordered outputs
     violations_path = os.path.join(cfg.out_dir, "violations")
     verdicts_path = os.path.join(cfg.out_dir, "verdicts")
@@ -912,6 +950,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
                 undecodable=int(table_stats.get("undecodable", 0)),
             ),
         },
+        "derived": {"review_queue": review_queue},
         "baseline": {"trusted": trust.trusted, "reason": trust.reason},
         "warnings": warnings,
         "elapsed_sec": round(time.monotonic() - t0, 3),

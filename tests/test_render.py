@@ -84,6 +84,55 @@ def test_render_outputs_golden(tiny_run, tmp_path):
     assert got == json.load(open(GOLDEN_SARIF))
 
 
+GOLDEN_TEXT = os.path.join(
+    os.path.dirname(__file__), "golden", "tiny_report_text.txt"
+)
+
+
+def test_review_queue_ranked_and_weighted(tiny_run):
+    q = tiny_run.report["derived"]["review_queue"]
+    assert q  # planted violations -> non-empty queue
+    scores = [e["score"] for e in q]
+    assert scores == sorted(scores, reverse=True)  # (-score, ...) order
+    for e in q:
+        w = 3 if e["severity"] == "error" else 1
+        assert e["score"] == e["n_new"] * w
+        assert e["n_new"] > 0
+
+
+def test_render_review_queue_surfaces(tiny_run):
+    out_dir = os.path.dirname(tiny_run.violations_path)
+    md_path, sarif_path = render_outputs(out_dir, ["md", "sarif"])
+    md = open(md_path).read()
+    assert "## Review queue (triage first)" in md
+    top = tiny_run.report["derived"]["review_queue"][0]
+    assert f"| 1 | {top['partition']} | {top['rule_id']} |" in md
+    # SARIF: ranked cells carry normalized rank, top cell = 100
+    sarif = json.load(open(sarif_path))
+    ranks = [r["rank"] for r in sarif["runs"][0]["results"] if "rank" in r]
+    assert ranks and max(ranks) == 100.0
+    assert all(0 <= r <= 100 for r in ranks)
+
+
+def test_render_text_golden(tiny_run):
+    out_dir = os.path.dirname(tiny_run.violations_path)
+    (p,) = render_outputs(out_dir, ["text"])
+    txt = open(p).read()
+    assert os.path.basename(p) == "report.txt"
+    assert "validation summary" in txt
+    assert "failed gates:" in txt and "review queue" in txt
+    # digest line varies with any report change; golden pins the rest
+    body = "\n".join(
+        ln for ln in txt.splitlines() if "run_digest" not in ln
+    )
+    if not os.path.exists(GOLDEN_TEXT):  # bootstrap once; committed after
+        os.makedirs(os.path.dirname(GOLDEN_TEXT), exist_ok=True)
+        with open(GOLDEN_TEXT, "w") as f:
+            f.write(body)
+        pytest.skip("golden bootstrapped — commit tests/golden/tiny_report_text.txt")
+    assert body == open(GOLDEN_TEXT).read()
+
+
 def test_render_markdown_green_run():
     report = {
         "inventory": {"partitions": 2, "partitions_resumed": 2, "rows": 10},
