@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "text_quality",
     "dedup_minhash_sigs",
     "dedup_lsh_pairs",
+    "dedup_lsh_verified_pairs",
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_srp_buckets",
