@@ -164,6 +164,7 @@ def lsh_candidate_pairs(
     n_hashes: int = MINHASH_K,
     band_size: int = 2,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    prefilter_hot: bool = False,
 ) -> DataFrame:
     """MinHash-LSH: band the signature, bucket within bands, emit distinct
     candidate pairs (a < b).  Shuffle keys are (band_idx, band_key) —
@@ -180,9 +181,12 @@ def lsh_candidate_pairs(
     cap bounds the PAIR OUTPUT, not the aggregation buffer: collect_list
     materializes each bucket fully before the size filter runs, so one
     degenerate key of d ids still builds one O(d) array in a single buffer
-    (fine up to millions of ids; an adversarial corpus would pre-filter hot
-    keys with a count-aggregate + anti-join at the cost of a second pass
-    over the signatures).  The expensive
+    (fine up to millions of ids).  For adversarial corpora pass
+    ``prefilter_hot=True``: a count-aggregate finds the over-cap keys
+    (tiny by construction) and a broadcast anti-join drops their rows
+    BEFORE collect_list, bounding every aggregation buffer at
+    *max_bucket* — at the cost of a second pass over the signature
+    pipeline (identical output either way).  The expensive
     shingle+MinHash pipeline is consumed exactly once BY CONSTRUCTION — no
     self-join, so no localCheckpoint / scratch-table materialization, full
     recompute lineage on executor loss, and no Window pre-pass (the size
@@ -190,6 +194,14 @@ def lsh_candidate_pairs(
     ops are the signature fold, the capped bucket shuffle, and the final
     pair distinct — no join exchanges anywhere."""
     banded = _banded_signatures(df, id_col, text_col, k, n_hashes, band_size)
+    if prefilter_hot and max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     buckets = banded.groupBy("band", "key").agg(
         F.collect_list("id").alias("ids")
     )
@@ -233,6 +245,12 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over an inverted shingle index: self-join on
     shingle -> pair intersection counts -> |A∪B| via per-doc set sizes.
+
+    This is the exact-small-scale operator: the per-shingle self-join is
+    O(Σ df²), which a single high-document-frequency shingle blows up.
+    The 100 TB path is :func:`lsh_verified_pairs` — LSH proposes a
+    bucket-capped candidate set and the exact verify is anchored on those
+    pairs (work O(candidates × doc shingles)).
 
     No persist(): the shingle frame feeds three subplans, but its distinct()
     exchange is reused by Spark (ReusedExchange under AQE), and a cached

@@ -203,6 +203,24 @@ def test_lsh_hot_bucket_cap(spark):
     assert full.count() >= 190  # C(20,2)
 
 
+def test_lsh_hot_key_prefilter_same_output_bounded_buffers(spark):
+    """prefilter_hot=True drops over-cap keys with a broadcast anti-join
+    BEFORE collect_list (bounding every aggregation buffer), and must be
+    output-identical to the default post-aggregation cap."""
+    rows = [(f"same{i}", "xxxxxyyyyyzzzzz") for i in range(20)] + [
+        ("a1", "hello world one two"),
+        ("a2", "hello world one two!"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = dd.lsh_candidate_pairs(docs, "doc_id", "text", max_bucket=10)
+    pre = dd.lsh_candidate_pairs(
+        docs, "doc_id", "text", max_bucket=10, prefilter_hot=True
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, pre.collect()))
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
 def test_lsh_pairs_single_pass_no_checkpoint(spark, tmp_path):
     """The pair plan consumes the shingle+MinHash pipeline exactly once:
     one source scan, one bucket shuffle, no self-join and no checkpoint
