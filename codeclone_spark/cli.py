@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="RULE:PART",
                    help="suppress new violations of RULE in partition PART"
                         " ('*' = all partitions); repeatable")
+    r.add_argument("--partitioned-sinks", action="store_true",
+                   help="write violations/verdicts partitioned by rule_id "
+                        "(parallel writers; cluster-scale layout) instead "
+                        "of one sorted file per sink")
     r.add_argument("--iceberg-table", default=None, metavar="CAT.DB.TBL",
                    help="Iceberg identifier of the clips table: resume "
                         "validity then keys on the table snapshot id "
@@ -117,6 +121,7 @@ def main(argv: list[str] | None = None) -> int:
                 test_lane_pattern=args.test_lane_pattern,
                 suppressions=list(args.suppress),
                 iceberg_table=args.iceberg_table,
+                partitioned_sinks=args.partitioned_sinks,
                 gates=GateConfig(max_count=max_count),
             ),
         )
