@@ -319,13 +319,13 @@ def render_markdown(report: dict[str, Any]) -> str:
             "",
             "## Review queue (triage first)",
             "",
-            "| # | partition | rule | new | severity | score |",
-            "|---:|---|---|---:|---|---:|",
+            "| # | partition | rule | new | severity | score | suggested action |",
+            "|---:|---|---|---:|---|---:|---|",
         ]
         for i, q in enumerate(queue, 1):
             lines.append(
                 f"| {i} | {q['partition']} | {q['rule_id']} | {q['n_new']} "
-                f"| {q['severity']} | {q['score']} |"
+                f"| {q['severity']} | {q['score']} | {q.get('action', '')} |"
             )
     drift = met.get("drift", {})
     if drift:
@@ -393,6 +393,8 @@ def render_text(report: dict[str, Any]) -> str:
                 f"  {i:>2}. {q['partition']} {q['rule_id']} "
                 f"new={q['n_new']} sev={q['severity']} score={q['score']}"
             )
+            if q.get("action"):
+                lines.append(f"      -> {q['action']}")
     integ = report.get("integrity", {})
     lines += [
         "",

@@ -78,6 +78,44 @@ TABLE_SCOPE = "<table>"
 REVIEW_QUEUE_K = 10
 _SEV_WEIGHT = {"error": 3, "warn": 1}
 
+# Remediation hints per rule (reference report/suggestions.py maps finding
+# kinds to suggested actions the same way); keyed by exact rule_id with a
+# family fallback.  Deterministic strings — they land in the canonical
+# report and its golden snapshots.
+_RULE_ACTIONS = {
+    "audio:undecodable": "re-encode or quarantine the payloads; audit the "
+                         "ingest codec pipeline for this partition",
+    "audio:snr": "re-master from source or refresh the reference fixture "
+                 "PCM for these clips",
+    "audio:len_consistency": "recompute header dur_ms/sr_hz from the "
+                             "decoded stream at ingest",
+    "audio:transcript_eq": "re-run transcription or update fixtures if "
+                           "the new transcripts are authoritative",
+    "audio:silence": "review capture gain staging; drop or re-record "
+                     "silent clips",
+    "audio:clipping": "review capture gain staging; re-normalize clipped "
+                      "clips",
+    "ref:fixture_missing": "regenerate reference fixtures for this "
+                           "partition (or gate ingest on fixture delivery)",
+    "uniq:clip_id": "deduplicate at ingest; add a clip_id uniqueness "
+                    "constraint upstream",
+    "stats:null:dur_ms": "backfill dur_ms upstream or drop rows at ingest",
+    "stats:null:transcript": "backfill transcripts upstream or route to "
+                             "the transcription queue",
+    "stats:range:dur_ms": "clamp or quarantine out-of-range durations at "
+                          "ingest",
+    "stats:domain:sr_hz": "resample to an allowed rate or extend the "
+                          "allowed set deliberately",
+    "stats:domain:codec": "transcode to an allowed codec or extend the "
+                          "allowed set deliberately",
+}
+
+
+def _suggested_action(rule_id: str) -> str:
+    return _RULE_ACTIONS.get(
+        rule_id, "inspect exemplar violations and file a data-quality issue"
+    )
+
 
 @dataclass
 class RunConfig:
@@ -783,6 +821,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             "n_new": int(r["n_new"]),
             "severity": RULE_SEVERITY.get(r["rule_id"], "error"),
             "score": int(r["score"]),
+            "action": _suggested_action(r["rule_id"]),
         }
         for r in rq_rows
     ]

@@ -98,6 +98,8 @@ def test_review_queue_ranked_and_weighted(tiny_run):
         w = 3 if e["severity"] == "error" else 1
         assert e["score"] == e["n_new"] * w
         assert e["n_new"] > 0
+        # every entry carries a remediation hint (reference suggestions.py)
+        assert e["action"]
 
 
 def test_render_review_queue_surfaces(tiny_run):
