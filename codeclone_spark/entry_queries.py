@@ -827,7 +827,10 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _lsh_verified_sql() -> str:
+def _lsh_verified_cte() -> str:
+    """CTE chain ending in ``verified(id_a, id_b, jaccard)`` — the
+    candidate-confined exact-Jaccard survivors (shared by the verified-
+    pairs oracle and the cluster oracle's recursive closure)."""
     return (
         _lsh_cands_cte()
         + """,
@@ -839,12 +842,69 @@ inter AS (
   FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.id < b.id
   JOIN cands c ON c.id_a = a.id AND c.id_b = b.id
   GROUP BY a.id, b.id
+),
+verified AS (
+  SELECT id_a, id_b,
+         round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+)"""
+    )
+
+
+def _lsh_verified_sql() -> str:
+    return (
+        _lsh_verified_cte()
+        + "\nSELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b"
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-dup CLUSTERS: connected components over the
+    composed ladder's verified pairs (reference clone-group formation,
+    findings/clones/grouping.py — pairwise matches fold into groups).
+    Spark side: iterative min-label propagation (operators/graph.py);
+    oracle side: DuckDB recursive-CTE closure — both must agree
+    bit-for-bit on (doc_id, cluster_id)."""
+    from codeclone_spark.operators.graph import connected_components
+
+    d = _t(spark, sf, "documents")
+    edges = dd.lsh_verified_pairs(
+        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5
+    )
+    return (
+        connected_components(edges)
+        .select(F.col("id").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+def _clusters_sql() -> str:
+    """Min-reachable-label closure over the verified pair graph.
+
+    Shape is load-bearing: the recursion must live in a NESTED subquery
+    whose WITH RECURSIVE sees only the MATERIALIZED ``e2`` edge CTE from
+    the outer (non-recursive) WITH.  Putting the whole chain under one
+    WITH RECURSIVE makes DuckDB re-inline — and re-run — the entire
+    LSH+Jaccard pipeline on every recursive iteration (measured: minutes
+    of CPU at sf0.01 vs ~4 s in this form)."""
+    return (
+        _lsh_verified_cte()
+        + """,
+e2 AS MATERIALIZED (
+  SELECT id_a AS s, id_b AS t FROM verified
+  UNION
+  SELECT id_b AS s, id_a AS t FROM verified
 )
-SELECT id_a, id_b,
-       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
-FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
-ORDER BY id_a, id_b
+SELECT id AS doc_id, cluster_id FROM (
+  WITH RECURSIVE reach AS (
+    SELECT s AS id, s AS lbl FROM e2
+    UNION
+    SELECT e2.t AS id, reach.lbl FROM reach JOIN e2 ON e2.s = reach.id
+  )
+  SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+)
+ORDER BY doc_id
 """
     )
 
@@ -1488,6 +1548,7 @@ def build_registry() -> dict[str, QueryDef]:
         "dedup_lsh_verified_pairs": QueryDef(
             dedup_lsh_verified_pairs, _lsh_verified_sql()
         ),
+        "dedup_clusters": QueryDef(dedup_clusters, _clusters_sql()),
         "dedup_simhash": QueryDef(dedup_simhash, _simhash_sql()),
         "dedup_embedding_cosine": QueryDef(dedup_embedding_cosine, EMB_NEARDUP_SQL),
         "sim_cosine_topk": QueryDef(sim_cosine_topk, SIM_TOPK_SQL),

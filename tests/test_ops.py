@@ -241,6 +241,31 @@ def test_lsh_pairs_single_pass_no_checkpoint(spark, tmp_path):
     assert plan.count("Exchange") == 3
 
 
+def test_connected_components_labels(spark):
+    """Min-label propagation = component minimum for every node; raises
+    (never returns a wrong labeling) when the diameter exceeds max_iter."""
+    from codeclone_spark.operators import graph as g
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4), (7, 6), (6, 8)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in g.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6}
+    sizes = {
+        r["cluster_id"]: r["n"]
+        for r in g.cluster_sizes(g.connected_components(edges)).collect()
+    }
+    assert sizes == {1: 3, 4: 2, 6: 3}
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        g.connected_components(chain, max_iter=2)
+    # the default budget converges the same chain
+    full = {r["id"]: r["cluster_id"] for r in g.connected_components(chain).collect()}
+    assert set(full.values()) == {0}
+
+
 def test_embedding_neardup_requires_blocking(spark):
     import pytest
 
