@@ -909,6 +909,26 @@ ORDER BY doc_id
     )
 
 
+def dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-level view of dedup_clusters (reference group-size stats over
+    formed clone groups): (cluster_id, n) per transitive near-dup
+    cluster."""
+    from codeclone_spark.operators.graph import cluster_sizes, connected_components
+
+    d = _t(spark, sf, "documents")
+    edges = dd.lsh_verified_pairs(
+        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5
+    )
+    return cluster_sizes(connected_components(edges)).orderBy("cluster_id")
+
+
+def _cluster_sizes_sql() -> str:
+    return (
+        f"SELECT cluster_id, CAST(count(*) AS BIGINT) AS n "
+        f"FROM ({_clusters_sql()}) GROUP BY cluster_id ORDER BY cluster_id"
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     return dd.simhash(d, "doc_id", "text").orderBy("id")
@@ -1549,6 +1569,7 @@ def build_registry() -> dict[str, QueryDef]:
             dedup_lsh_verified_pairs, _lsh_verified_sql()
         ),
         "dedup_clusters": QueryDef(dedup_clusters, _clusters_sql()),
+        "dedup_cluster_sizes": QueryDef(dedup_cluster_sizes, _cluster_sizes_sql()),
         "dedup_simhash": QueryDef(dedup_simhash, _simhash_sql()),
         "dedup_embedding_cosine": QueryDef(dedup_embedding_cosine, EMB_NEARDUP_SQL),
         "sim_cosine_topk": QueryDef(sim_cosine_topk, SIM_TOPK_SQL),
