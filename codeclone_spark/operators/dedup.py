@@ -266,19 +266,18 @@ def jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # Threshold on the UNROUNDED ratio (rounding only for output): the SQL
+    # oracle's WHERE clause uses the raw ratio, and a pair whose true
+    # Jaccard sits within 5e-7 of the threshold must land on the same side
+    # in both engines — reachable once |A∪B| exceeds ~1e6 shingles.
+    raw = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast(
+        "double"
+    )
     res = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
     )
     return res
 
@@ -348,18 +347,15 @@ def lsh_verified_pairs(
         F.size("arr").alias("sz_b"),
     )
     inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    # threshold on the UNROUNDED ratio, round only for output — matches the
+    # oracle's WHERE clause at the edge (see jaccard_pairs note); Catalyst
+    # CSEs the repeated array_intersect so this costs nothing extra
+    raw = inter / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
     return (
         cands.join(a_side, "id_a")
         .join(b_side, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                inter / (F.col("sz_a") + F.col("sz_b") - inter).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(raw >= threshold)
+        .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
     )
 
 

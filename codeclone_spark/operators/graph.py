@@ -8,15 +8,36 @@ into groups): near-dup verification emits PAIRS, and a training-data
 dedup pipeline needs transitive CLUSTERS of them — "keep one doc per
 connected component".
 
-:func:`connected_components` is the Spark-first form: iterative min-label
-propagation — per round, every node takes the minimum label among itself
-and its neighbors; a fixpoint labels each component by its minimum node
-id.  Rounds are bounded by the component diameter, and near-dup clusters
-are dense (LSH candidates form near-cliques), so convergence is 2-3
-rounds in practice; each round is one join + one groupBy (label frame is
-(node, label) — edges never rewritten).  The per-round persist keeps the
-iterative plan's lineage bounded without checkpointing; every persisted
-round is unpersisted as soon as its successor materializes.
+:func:`connected_components` is the Spark-first form, in two phases:
+
+1. **Plain min-label propagation** (first ``simple_rounds`` rounds): every
+   node takes the minimum label among itself and its neighbors.  One join +
+   one groupBy per round with a SINGLE reference to the carried label frame
+   (self-loop edges fold "self" into "neighbors"), so the logical plan
+   grows LINEARLY in the round count — no lineage truncation needed.
+   Near-dup clusters are dense (LSH candidates form near-cliques), so this
+   phase alone converges in 2-3 rounds on real dedup graphs, with zero
+   checkpoint I/O.
+
+2. **Pointer-doubling rounds** (if not yet converged): each round first
+   propagates one hop, then shortcuts ``lbl(u) <- min(lbl(u), lbl(lbl(u)))``
+   via a self-join of the label frame on the label column.  Pointer depth
+   halves every round, so total rounds are O(log diameter) — a 10^6-hop
+   chain of pairwise near-dups (chained paraphrases) converges in ~24
+   doubling rounds instead of 10^6 propagation rounds.  The self-join
+   references the round's frame twice, which would grow the logical plan
+   EXPONENTIALLY per round, so every doubling round truncates lineage by
+   materializing the (id, lbl) frame to *scratch_dir* as parquet and
+   reading it back — the same bounded-plan discipline GraphFrames applies
+   with its checkpointInterval.  The label frame is one row per node
+   TOUCHED BY AN EDGE (duplicate docs only, not the corpus), so the
+   per-round write is small relative to the pair computation upstream.
+
+The converged labels are ALWAYS materialized to *scratch_dir* and the
+returned frame reads from there: nothing stays persisted after the call
+returns (repeated calls in a long-lived session leak no cached frames),
+repeat actions on the result cost a tiny parquet scan instead of a full
+re-derivation, and the file doubles as the survivor-manifest input.
 
 Exactly expressible in SQL as a recursive closure (DuckDB
 ``WITH RECURSIVE`` min-reachable-label), so the registry query is fully
@@ -26,6 +47,10 @@ agree bit-for-bit.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,16 +59,25 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
+    simple_rounds: int = 4,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """(id, cluster_id) for every node of the undirected *edges* graph;
     ``cluster_id`` = minimum node id in the component (deterministic
     canonical representative, the reference's sorted-group-id convention,
     ``clone_baseline.py:511-527``).
 
-    Raises RuntimeError if *max_iter* rounds do not reach the fixpoint —
-    a correctness guard (an unconverged labeling is NOT components), hit
-    only by a path graph longer than max_iter, not by dedup clusters.
+    *scratch_dir* receives the per-doubling-round and final label
+    materializations; defaults to a fresh directory under the system temp
+    root.  On a multi-executor cluster pass a path on shared storage
+    (HDFS/S3) — executor-visible scratch is the standard cost of iterative
+    graph algorithms at scale.
+
+    Raises RuntimeError if *max_iter* total rounds do not reach the
+    fixpoint — a correctness guard (an unconverged labeling is NOT
+    components).  With pointer doubling the default budget covers
+    diameters past 2**40, so the guard fires only on a genuine bug.
     """
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
@@ -51,11 +85,9 @@ def connected_components(
         .distinct()
     )
     # Self-loops make one propagation round = "min over self + neighbors"
-    # with a SINGLE reference to the label frame per round.  That single
-    # reference is what keeps the iterative logical plan LINEAR in the
-    # round count — a two-reference formulation (join + least-fallback)
-    # doubles the plan tree every round and OOMs the driver stringifying
-    # it long before the data is large.
+    # with a SINGLE reference to the label frame per round (linear plan;
+    # a two-reference join + least-fallback formulation doubles the plan
+    # tree every round and OOMs the driver stringifying it).
     nodes = und.select(F.col("s").alias("id")).distinct()
     e2 = (
         und.unionByName(
@@ -64,38 +96,78 @@ def connected_components(
     ).persist()
     labels = nodes.withColumn("lbl", F.col("id")).persist()
 
-    # Convergence probe: labels only ever DECREASE under min-propagation,
-    # so the label sum is strictly monotone until the fixpoint — equal
-    # sums between rounds ⟺ no label changed.  One aggregate per round on
-    # the cached frame; decimal(38,0) so arbitrary 64-bit ids cannot
-    # overflow the sum.
+    # Convergence probe: labels only ever DECREASE under min-propagation
+    # (and under the doubling shortcut), so the label sum is strictly
+    # monotone until the fixpoint — equal sums between rounds ⟺ no label
+    # changed.  One aggregate per round; decimal(38,0) so arbitrary 64-bit
+    # ids cannot overflow the sum.
     def _label_sum(frame: DataFrame):
         return frame.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
+    spark = edges.sparkSession
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="ccspark_cc_")
+
+    def _truncate(frame: DataFrame, tag: str) -> DataFrame:
+        path = os.path.join(scratch, tag)
+        frame.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     cur = _label_sum(labels)
+    if cur is None:  # no edges → no nodes; nothing to iterate or persist
+        out = labels.select("id", F.col("lbl").alias("cluster_id"))
+        labels.unpersist()
+        e2.unpersist()
+        return out
+
+    pinned = [e2, labels]  # every persisted handle, unpersisted before return
     try:
-        for _ in range(max_iter):
-            new_labels = (
+        for rnd in range(max_iter):
+            prop = (
                 e2.join(labels.select(F.col("id").alias("s"), "lbl"), "s")
                 .groupBy("t")
                 .agg(F.min("lbl").alias("lbl"))
                 .select(F.col("t").alias("id"), "lbl")
-                .persist()
             )
+            if rnd < simple_rounds:
+                new_labels = prop.persist()
+                pinned.append(new_labels)
+            else:
+                # Pointer doubling: shortcut each label to its label's
+                # label.  prop is persisted + materialized FIRST so the
+                # self-join reads the cache instead of racing two
+                # evaluations of the same uncached subtree.
+                prop = prop.persist()
+                pinned.append(prop)
+                prop.count()
+                mapping = prop.select(
+                    F.col("id").alias("lbl"), F.col("lbl").alias("_lbl2")
+                )
+                doubled = prop.join(mapping, "lbl", "left").select(
+                    "id",
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("_lbl2"), F.col("lbl"))
+                    ).alias("lbl"),
+                )
+                new_labels = _truncate(doubled, f"round={rnd}")
+                prop.unpersist()
             new = _label_sum(new_labels)
             labels.unpersist()
             labels = new_labels
             if new == cur:
-                return labels.select("id", F.col("lbl").alias("cluster_id"))
+                final = _truncate(
+                    labels.select("id", F.col("lbl").alias("cluster_id")),
+                    "labels",
+                )
+                return final
             cur = new
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter)"
+            f"connected_components did not converge in {max_iter} rounds"
         )
     finally:
-        e2.unpersist()
+        for frame in pinned:
+            frame.unpersist()
 
 
 def cluster_sizes(components: DataFrame) -> DataFrame:

@@ -55,11 +55,22 @@ def list_partitions(spark: SparkSession, identifier: str) -> list[str]:
 
 
 def current_snapshot_id(spark: SparkSession, identifier: str) -> int | None:
+    """Snapshot id of the table's CURRENT state.
+
+    Reads the `.history` metadata table filtered to `is_current_ancestor`
+    rather than `max(committed_at)` over `.snapshots`: `.snapshots` lists
+    every snapshot ever committed, including ones rolled back or created on
+    other branches, so after a rollback the newest `committed_at` row is NOT
+    the table's current state and a resume signature built from it would
+    treat stale ledger entries as valid.  `is_current_ancestor` restricts to
+    the lineage of the current snapshot, whose newest `made_current_at` row
+    IS current — the same answer `table.currentSnapshot()` gives in the Java
+    API."""
     if not iceberg_available(spark):
         return None
     rows = spark.sql(
-        f"SELECT snapshot_id FROM {identifier}.snapshots "
-        "ORDER BY committed_at DESC LIMIT 1"
+        f"SELECT snapshot_id FROM {identifier}.history "
+        "WHERE is_current_ancestor ORDER BY made_current_at DESC LIMIT 1"
     ).collect()
     return int(rows[0]["snapshot_id"]) if rows else None
 

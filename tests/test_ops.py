@@ -266,6 +266,33 @@ def test_connected_components_labels(spark):
     assert set(full.values()) == {0}
 
 
+def test_connected_components_long_chain_and_no_leaked_persist(spark):
+    """Diameter robustness (pointer doubling): a 60-hop path graph — which
+    plain min-label propagation could never finish inside the old
+    max_iter=25 budget — converges under the default budget; and the call
+    leaves NO persisted frames behind (repeated calls in a long-lived
+    session must not accumulate cache)."""
+    from codeclone_spark.operators import graph as g
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in g.connected_components(chain).collect()}
+    assert got == {i: 0 for i in range(61)}
+    # two disjoint long chains keep distinct minima
+    two = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)]
+        + [(i, i + 1) for i in range(100, 140)],
+        ["id_a", "id_b"],
+    )
+    got2 = {r["id"]: r["cluster_id"] for r in g.connected_components(two).collect()}
+    assert set(got2.values()) == {0, 100}
+    assert got2[31 - 1] == 0 and got2[140] == 100
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set(), "connected_components leaked persisted frames"
+
+
 def test_embedding_neardup_requires_blocking(spark):
     import pytest
 
