@@ -65,6 +65,26 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--out-dir", required=True)
     g.add_argument("--profile", default="tiny")
     g.add_argument("--seed", type=int, default=42)
+
+    k = sub.add_parser(
+        "dedup",
+        help="near-dup survivor manifest: LSH -> exact verify -> clusters "
+             "-> (id, cluster_id, keep, reason) parquet",
+    )
+    k.add_argument("--input", required=True,
+                   help="parquet path of the corpus to deduplicate")
+    k.add_argument("--id-col", required=True)
+    k.add_argument("--text-col", required=True)
+    k.add_argument("--out-dir", required=True)
+    k.add_argument("--threshold", type=float, default=0.6,
+                   help="exact-Jaccard verification threshold")
+    k.add_argument("--max-bucket", type=int, default=1024,
+                   help="LSH bucket cap (caps as backpressure)")
+    k.add_argument("--prefilter-hot", action="store_true",
+                   help="drop over-cap LSH keys BEFORE the bucket "
+                        "aggregation (bounds every aggregation buffer; "
+                        "second pass over the signature pipeline)")
+    k.add_argument("--cores", type=int, default=None)
     return p
 
 
@@ -79,6 +99,53 @@ def main(argv: list[str] | None = None) -> int:
 
         m = generate(args.out_dir, profile=args.profile, seed=args.seed)
         print(json.dumps({k: v for k, v in m.items() if k != "planted"}))
+        return 0
+
+    if args.cmd == "dedup":
+        from pyspark.sql import functions as F
+
+        from codeclone_spark.operators.dedup import lsh_verified_pairs
+        from codeclone_spark.operators.graph import (
+            connected_components,
+            keep_list,
+        )
+        from codeclone_spark.session import get_spark
+
+        spark = get_spark(app_name="codeclone-spark-dedup", cores=args.cores)
+        try:
+            df = spark.read.parquet(args.input)
+            for c in (args.id_col, args.text_col):
+                if c not in df.columns:
+                    print(f"CONTRACT_ERROR: column {c!r} not in input",
+                          file=sys.stderr)
+                    return EXIT_CONTRACT_ERROR
+            pairs = lsh_verified_pairs(
+                df, args.id_col, args.text_col,
+                max_bucket=args.max_bucket, threshold=args.threshold,
+                prefilter_hot=args.prefilter_hot,
+            )
+            manifest = keep_list(df, args.id_col, connected_components(pairs))
+            out = f"{args.out_dir.rstrip('/')}/keep_list"
+            # partitioned by verdict so purge consumers prune at the
+            # directory level (read only reason=near_duplicate)
+            (
+                manifest.repartition(F.col("reason"))
+                .sortWithinPartitions("reason", "id")
+                .write.partitionBy("reason")
+                .mode("overwrite")
+                .parquet(out)
+            )
+            counts = {
+                r["reason"]: int(r["n"])
+                for r in spark.read.parquet(out)
+                .groupBy("reason")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        except Exception as e:
+            print(f"CONTRACT_ERROR: {type(e).__name__}: {e}", file=sys.stderr)
+            return EXIT_CONTRACT_ERROR
+        print(json.dumps({"manifest": out, "by_reason": counts}, sort_keys=True))
         return 0
 
     if args.cmd == "render":

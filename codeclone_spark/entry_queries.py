@@ -929,6 +929,60 @@ def _cluster_sizes_sql() -> str:
     )
 
 
+def dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivor/purge manifest over the WHOLE corpus: every doc gets
+    (cluster_id, keep, reason) with keep = unique docs + cluster minima
+    (reference canonical-representative convention,
+    clone_baseline.py:511-527) — the operational endpoint a dedup pipeline
+    actually materializes and filters ingest against."""
+    from codeclone_spark.operators.graph import connected_components, keep_list
+
+    d = _t(spark, sf, "documents")
+    edges = dd.lsh_verified_pairs(
+        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5
+    )
+    comps = connected_components(edges)
+    return (
+        keep_list(d, "doc_id", comps)
+        .select(F.col("id").alias("doc_id"), "cluster_id", "keep", "reason")
+        .orderBy("doc_id")
+    )
+
+
+def _keep_list_sql() -> str:
+    """Cluster closure LEFT-JOINed back to the full doc-id set (SQL twin of
+    keep_list's coalesce/min-id-representative semantics)."""
+    return (
+        _lsh_verified_cte()
+        + """,
+e2 AS MATERIALIZED (
+  SELECT id_a AS s, id_b AS t FROM verified
+  UNION
+  SELECT id_b AS s, id_a AS t FROM verified
+),
+comp AS (
+  SELECT id, cluster_id FROM (
+    WITH RECURSIVE reach AS (
+      SELECT s AS id, s AS lbl FROM e2
+      UNION
+      SELECT e2.t AS id, reach.lbl FROM reach JOIN e2 ON e2.s = reach.id
+    )
+    SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+  )
+)
+SELECT d.doc_id AS doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       (c.cluster_id IS NULL OR d.doc_id = c.cluster_id) AS keep,
+       CASE WHEN c.cluster_id IS NULL THEN 'unique'
+            WHEN d.doc_id = c.cluster_id THEN 'representative'
+            ELSE 'near_duplicate' END AS reason
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN comp c ON c.id = d.doc_id
+ORDER BY doc_id
+"""
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     return dd.simhash(d, "doc_id", "text").orderBy("id")
@@ -1570,6 +1624,7 @@ def build_registry() -> dict[str, QueryDef]:
         ),
         "dedup_clusters": QueryDef(dedup_clusters, _clusters_sql()),
         "dedup_cluster_sizes": QueryDef(dedup_cluster_sizes, _cluster_sizes_sql()),
+        "dedup_keep_list": QueryDef(dedup_keep_list, _keep_list_sql()),
         "dedup_simhash": QueryDef(dedup_simhash, _simhash_sql()),
         "dedup_embedding_cosine": QueryDef(dedup_embedding_cosine, EMB_NEARDUP_SQL),
         "sim_cosine_topk": QueryDef(sim_cosine_topk, SIM_TOPK_SQL),

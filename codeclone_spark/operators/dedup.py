@@ -291,6 +291,7 @@ def lsh_verified_pairs(
     band_size: int = 2,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     threshold: float = 0.6,
+    prefilter_hot: bool = False,
 ) -> DataFrame:
     """The COMPOSED dedup ladder: cheap LSH banding proposes candidate
     pairs, exact n-gram Jaccard verifies ONLY those candidates — the
@@ -321,7 +322,8 @@ def lsh_verified_pairs(
     similarity clears the threshold (the usual LSH recall trade-off —
     banding parameters set the recall floor)."""
     cands = lsh_candidate_pairs(
-        df, id_col, text_col, k, n_hashes, band_size, max_bucket
+        df, id_col, text_col, k, n_hashes, band_size, max_bucket,
+        prefilter_hot=prefilter_hot,
     )
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))

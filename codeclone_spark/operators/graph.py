@@ -174,3 +174,34 @@ def cluster_sizes(components: DataFrame) -> DataFrame:
     """(cluster_id, n) summary of a components frame — the group-level
     view (reference group size stats)."""
     return components.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def keep_list(
+    df: DataFrame, id_col: str, components: DataFrame
+) -> DataFrame:
+    """Survivor/purge manifest: (id, cluster_id, keep, reason) covering
+    EVERY row of *df* — the operational endpoint of the dedup ladder
+    ("keep one doc per cluster").  The canonical representative is the
+    cluster's minimum id (``cluster_id`` already IS that minimum, the
+    reference's sorted-group-id convention, clone_baseline.py:511-527):
+
+    - ``unique``          — in no cluster; keep
+    - ``representative``  — cluster minimum; keep
+    - ``near_duplicate``  — clustered, not the representative; drop
+
+    One id-keyed equi-join: *components* holds only docs touched by a
+    verified pair (typically a small fraction of the corpus), so AQE
+    broadcasts it when it fits; at adversarial dup rates it degrades to a
+    shuffled hash join on the high-cardinality id — no skew either way."""
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    j = ids.join(components, "id", "left")
+    is_rep = F.col("id") == F.col("cluster_id")
+    return j.select(
+        "id",
+        F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+        (F.col("cluster_id").isNull() | is_rep).alias("keep"),
+        F.when(F.col("cluster_id").isNull(), F.lit("unique"))
+        .when(is_rep, F.lit("representative"))
+        .otherwise(F.lit("near_duplicate"))
+        .alias("reason"),
+    )

@@ -293,6 +293,54 @@ def test_connected_components_long_chain_and_no_leaked_persist(spark):
     assert after - before == set(), "connected_components leaked persisted frames"
 
 
+def test_keep_list_manifest(spark):
+    """Survivor manifest covers EVERY doc: uniques keep, the cluster minimum
+    keeps as representative, other members purge as near_duplicate."""
+    from codeclone_spark.operators import graph as g
+
+    corpus = spark.createDataFrame(
+        [(i,) for i in (1, 2, 7, 9)], ["doc_id"]
+    )
+    comps = spark.createDataFrame([(2, 2), (7, 2)], ["id", "cluster_id"])
+    rows = {
+        r["id"]: (r["cluster_id"], r["keep"], r["reason"])
+        for r in g.keep_list(corpus, "doc_id", comps).collect()
+    }
+    assert rows == {
+        1: (1, True, "unique"),
+        2: (2, True, "representative"),
+        7: (2, False, "near_duplicate"),
+        9: (9, True, "unique"),
+    }
+
+
+def test_dedup_cli_manifest(spark, tmp_path, docs):
+    """End-to-end `dedup` subcommand: ladder -> clusters -> partitioned
+    keep_list manifest; doc 1 survives its exact-dup group, doc 5's empty
+    text stays unique."""
+    from codeclone_spark.cli import main
+
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "dedup_out")
+    rc = main(
+        [
+            "dedup", "--input", src, "--id-col", "doc_id",
+            "--text-col", "text", "--out-dir", out,
+            "--threshold", "0.5", "--prefilter-hot",
+        ]
+    )
+    assert rc == 0
+    got = {
+        r["id"]: (r["keep"], r["reason"])
+        for r in spark.read.parquet(f"{out}/keep_list").collect()
+    }
+    assert got[1] == (True, "representative")
+    assert got[2] == (False, "near_duplicate")
+    assert got[5] == (True, "unique")
+    assert len(got) == 5 and sum(1 for k, _ in got.values() if k) >= 3
+
+
 def test_embedding_neardup_requires_blocking(spark):
     import pytest
 
