@@ -26,12 +26,15 @@ Engine contracts (versioned like the reference's
 """
 
 ENGINE_NAME = "codeclone_spark"
-ENGINE_VERSION = "0.4.0"
+ENGINE_VERSION = "0.5.0"
 
 # Versioned persisted-artifact contracts (reference: contracts/__init__.py)
-BASELINE_SCHEMA_VERSION = "1.2"
+# 1.3: adds the accepted near-dup cluster section ("clones" — the
+# reference's clone-group baseline, clone_baseline.py:511-527)
+BASELINE_SCHEMA_VERSION = "1.3"
+# 1.2: adds metrics.neardup (present when the near-dup stage runs)
 # 1.1: adds the derived.review_queue triage section (additive)
-REPORT_SCHEMA_VERSION = "1.1"
+REPORT_SCHEMA_VERSION = "1.2"
 LEDGER_SCHEMA_VERSION = "2.0"
 
 # Exit codes (reference: contracts/__init__.py:112-116)

@@ -48,6 +48,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Iceberg identifier of the clips table: resume "
                         "validity then keys on the table snapshot id "
                         "(one catalog call) instead of local file mtimes")
+    r.add_argument("--neardup-transcript", action="store_true",
+                   help="near-dup transcript clone groups: LSH -> exact "
+                        "verify -> connected components, diffed new-vs-"
+                        "known against the baseline 'clones' section; "
+                        "NEW clusters gate (accept with --update-baseline)")
+    r.add_argument("--neardup-threshold", type=float, default=0.9,
+                   metavar="J", help="exact-Jaccard acceptance threshold "
+                                     "for a verified near-dup pair")
+    r.add_argument("--neardup-max-bucket", type=int, default=1024,
+                   help="LSH bucket cap for the candidate stage")
+    r.add_argument("--neardup-prefilter-hot", action="store_true",
+                   help="drop over-cap LSH keys BEFORE the bucket "
+                        "aggregation (bounds aggregation buffers on "
+                        "adversarial corpora; identical output)")
     r.add_argument("--cores", type=int, default=None)
     r.add_argument("--render", default=None, metavar="FMT[,FMT]",
                    help="also render report.md / report.sarif / report.txt "
@@ -60,6 +74,26 @@ def build_parser() -> argparse.ArgumentParser:
     )
     d.add_argument("--out-dir", required=True)
     d.add_argument("--formats", default="md,sarif", metavar="FMT[,FMT]")
+
+    q = sub.add_parser(
+        "query",
+        help="scoped questions over a completed run's persisted outputs "
+             "(report.json + sinks; pyarrow only — no Spark, no "
+             "re-analysis; --rule prunes partitioned sinks at the "
+             "directory level)",
+    )
+    q.add_argument("--out-dir", required=True)
+    q.add_argument("--rule", default=None, metavar="RULE_ID")
+    q.add_argument("--partition", default=None, metavar="PART")
+    q.add_argument("--new-only", action="store_true",
+                   help="only verdict cells with novelty=new (and their "
+                        "exemplar rows): 'what is new vs the baseline'")
+    q.add_argument("--failed-gates", action="store_true",
+                   help="only failing verdict cells: 'which partitions "
+                        "fail rule X'")
+    q.add_argument("--limit", type=int, default=20,
+                   help="max exemplar rows returned (<=0 = all; true "
+                        "totals are always reported)")
 
     g = sub.add_parser("synth", help="generate synthetic corpus")
     g.add_argument("--out-dir", required=True)
@@ -148,6 +182,24 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"manifest": out, "by_reason": counts}, sort_keys=True))
         return 0
 
+    if args.cmd == "query":
+        from codeclone_spark.plans.report_query import query_run
+
+        try:
+            res = query_run(
+                args.out_dir,
+                rule=args.rule,
+                partition=args.partition,
+                new_only=args.new_only,
+                failed_only=args.failed_gates,
+                limit=args.limit,
+            )
+        except (OSError, ValueError, json.JSONDecodeError, KeyError) as e:
+            print(f"CONTRACT_ERROR: {type(e).__name__}: {e}", file=sys.stderr)
+            return EXIT_CONTRACT_ERROR
+        print(json.dumps(res, sort_keys=True, indent=1))
+        return 0
+
     if args.cmd == "render":
         from codeclone_spark.plans.render import render_outputs
 
@@ -189,6 +241,10 @@ def main(argv: list[str] | None = None) -> int:
                 suppressions=list(args.suppress),
                 iceberg_table=args.iceberg_table,
                 partitioned_sinks=args.partitioned_sinks,
+                neardup_transcript=args.neardup_transcript,
+                neardup_threshold=args.neardup_threshold,
+                neardup_max_bucket=args.neardup_max_bucket,
+                neardup_prefilter_hot=args.neardup_prefilter_hot,
                 gates=GateConfig(max_count=max_count),
             ),
         )

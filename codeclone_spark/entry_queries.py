@@ -983,6 +983,44 @@ ORDER BY doc_id
     )
 
 
+def neardup_cluster_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Accepted-cluster KEYSET: '<min_member_id>|<size>' per transitive
+    near-dup cluster — exactly the strings the validation engine diffs
+    against the baseline's `clones` section and writes back on
+    --update-baseline (runner stage 4d; reference sorted-group-id
+    convention, clone_baseline.py:511-527).  Size is part of the key so a
+    grown/shrunk cluster re-gates as new; this query oracle-checks that
+    key derivation end-to-end over the documents corpus."""
+    from codeclone_spark.operators.graph import (
+        cluster_sizes,
+        connected_components,
+    )
+
+    d = _t(spark, sf, "documents")
+    edges = dd.lsh_verified_pairs(
+        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5
+    )
+    return (
+        cluster_sizes(connected_components(edges))
+        .select(
+            F.concat_ws(
+                "|",
+                F.col("cluster_id").cast("string"),
+                F.col("n").cast("string"),
+            ).alias("ckey")
+        )
+        .orderBy("ckey")
+    )
+
+
+def _cluster_keys_sql() -> str:
+    return (
+        f"SELECT cluster_id::VARCHAR || '|' || "
+        f"CAST(count(*) AS BIGINT)::VARCHAR AS ckey "
+        f"FROM ({_clusters_sql()}) GROUP BY cluster_id ORDER BY ckey"
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     return dd.simhash(d, "doc_id", "text").orderBy("id")
@@ -1625,6 +1663,7 @@ def build_registry() -> dict[str, QueryDef]:
         "dedup_clusters": QueryDef(dedup_clusters, _clusters_sql()),
         "dedup_cluster_sizes": QueryDef(dedup_cluster_sizes, _cluster_sizes_sql()),
         "dedup_keep_list": QueryDef(dedup_keep_list, _keep_list_sql()),
+        "neardup_cluster_keys": QueryDef(neardup_cluster_keys, _cluster_keys_sql()),
         "dedup_simhash": QueryDef(dedup_simhash, _simhash_sql()),
         "dedup_embedding_cosine": QueryDef(dedup_embedding_cosine, EMB_NEARDUP_SQL),
         "sim_cosine_topk": QueryDef(sim_cosine_topk, SIM_TOPK_SQL),

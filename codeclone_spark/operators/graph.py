@@ -96,15 +96,20 @@ def connected_components(
     ).persist()
     labels = nodes.withColumn("lbl", F.col("id")).persist()
 
-    # Convergence probe: labels only ever DECREASE under min-propagation
-    # (and under the doubling shortcut), so the label sum is strictly
-    # monotone until the fixpoint — equal sums between rounds ⟺ no label
-    # changed.  One aggregate per round; decimal(38,0) so arbitrary 64-bit
-    # ids cannot overflow the sum.
-    def _label_sum(frame: DataFrame):
-        return frame.agg(
-            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+    # Convergence probe: exact pointwise comparison of consecutive label
+    # frames — an id-keyed equi-join (old side renamed, so the lineage-
+    # derived join is unambiguous) filtered to differing labels, probed
+    # with isEmpty() (early-exits on the first change).  Works for ANY
+    # orderable id type; the previous sum-of-labels probe cast to
+    # decimal(38,0) and blew up on string ids (clip_id corpora).  Both
+    # sides are materialized (persisted simple rounds / parquet doubling
+    # rounds), and the probe's action is what fills the new round's cache.
+    def _converged(new: DataFrame, old: DataFrame) -> bool:
+        return (
+            new.join(old.withColumnRenamed("lbl", "_prev"), "id")
+            .filter(F.col("lbl") != F.col("_prev"))
+            .isEmpty()
+        )
 
     spark = edges.sparkSession
     scratch = scratch_dir or tempfile.mkdtemp(prefix="ccspark_cc_")
@@ -114,8 +119,7 @@ def connected_components(
         frame.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    cur = _label_sum(labels)
-    if cur is None:  # no edges → no nodes; nothing to iterate or persist
+    if labels.isEmpty():  # no edges → no nodes; nothing to iterate
         out = labels.select("id", F.col("lbl").alias("cluster_id"))
         labels.unpersist()
         e2.unpersist()
@@ -152,16 +156,15 @@ def connected_components(
                 )
                 new_labels = _truncate(doubled, f"round={rnd}")
                 prop.unpersist()
-            new = _label_sum(new_labels)
+            done = _converged(new_labels, labels)
             labels.unpersist()
             labels = new_labels
-            if new == cur:
+            if done:
                 final = _truncate(
                     labels.select("id", F.col("lbl").alias("cluster_id")),
                     "labels",
                 )
                 return final
-            cur = new
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )

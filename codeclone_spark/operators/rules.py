@@ -169,6 +169,13 @@ ROW_RULE_IDS = [
 ]
 # Rules evaluated outside the single row pass (their own shuffle / driver step)
 TABLE_RULE_IDS = ["uniq:clip_id"]
+# Near-dup clone-group rule (opt-in stage, RunConfig.neardup_transcript):
+# table-scope like uniq:clip_id — clusters span partitions, so the finding
+# is attributed to min(part) for reporting only and partition-scoped
+# suppressions are rejected.  NOT in TABLE_RULE_IDS: the dense verdict grid
+# must not assert "ok (0 violations)" for a stage that never ran; the rule
+# gets one table-scope verdict row when enabled (drift-rule convention).
+NEARDUP_RULE_ID = "neardup:transcript"
 
 # Rule-intrinsic triage severity (reference risk/severity bucketing:
 # metrics registry families carry a risk class; errors are correctness
@@ -188,6 +195,7 @@ RULE_SEVERITY = {
     "stats:domain:sr_hz": "error",
     "stats:domain:codec": "error",
     "uniq:clip_id": "error",
+    "neardup:transcript": "warn",
     "drift:psi:dur_ms": "warn",
     "drift:ks:dur_ms": "warn",
     "drift:psi:sr_hz": "warn",

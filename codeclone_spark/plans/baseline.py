@@ -71,6 +71,7 @@ def write_baseline(
     created_at: str = DEFAULT_CREATED_AT,
     schema: dict[str, Any] | None = None,
     accepted_ref: dict[str, Any] | None = None,
+    clones: dict[str, list[str]] | None = None,
 ) -> dict[str, Any]:
     payload = {
         "stats": stats,
@@ -81,6 +82,13 @@ def write_baseline(
         "schema": schema or {},
         # large accepted sets live in a parquet side table (see module doc)
         "accepted_ref": accepted_ref or {},
+        # accepted near-dup cluster keys per family (schema minor >= 3):
+        # family -> sorted ["<min_member_id>|<size>", ...] — the reference's
+        # clone-group baseline section (sorted-group-id convention,
+        # clone_baseline.py:511-527).  A cluster that grows or shrinks gets
+        # a NEW key (size is part of the identity), so changed clusters
+        # re-gate as new.
+        "clones": {f: sorted(ks) for f, ks in sorted((clones or {}).items())},
     }
     doc = {
         "meta": {
@@ -121,6 +129,28 @@ def _valid_vkey(k: Any) -> bool:
         return False
     parts = k.split("|")
     return len(parts) >= 3 and bool(_KEY_RULE_RE.match(parts[0]))
+
+
+_CKEY_RE = re.compile(r"^[^|]{1,256}\|\d{1,12}$")
+
+
+def _valid_ckey(k: Any) -> bool:
+    """Accepted-cluster key shape: '<min_member_id>|<size>'."""
+    return isinstance(k, str) and bool(_CKEY_RE.match(k))
+
+
+def payload_keys(minor: int) -> list[str]:
+    """Signed payload keys carried by a baseline of schema minor *minor*
+    (additive per minor — the single source of truth for signing and
+    verification; tests re-signing mutated docs must use this too)."""
+    keys = ["stats", "histograms", "uniqueness", "accepted_violations"]
+    if minor >= 1:
+        keys.append("schema")
+    if minor >= 2:
+        keys.append("accepted_ref")
+    if minor >= 3:
+        keys.append("clones")
+    return keys
 
 
 def load_baseline(path: str) -> tuple[dict[str, Any] | None, Trust]:
@@ -167,11 +197,7 @@ def load_baseline(path: str) -> tuple[dict[str, Any] | None, Trust]:
             f"vs {ENGINE_VERSION!r}",
         )
 
-    required = ["stats", "histograms", "uniqueness", "accepted_violations"]
-    if got[1] >= 1:
-        required.append("schema")
-    if got[1] >= 2:
-        required.append("accepted_ref")
+    required = payload_keys(got[1])
     if any(k not in doc for k in required):
         return doc, Trust(False, "baseline payload keys missing")
     payload = {k: doc[k] for k in required}
@@ -182,6 +208,18 @@ def load_baseline(path: str) -> tuple[dict[str, Any] | None, Trust]:
     acc = doc["accepted_violations"]
     if not isinstance(acc, list) or any(not _valid_vkey(k) for k in acc):
         return doc, Trust(False, "accepted_violations key shape invalid")
+    clones = doc.get("clones") or {}
+    if clones and (
+        not isinstance(clones, dict)
+        or any(
+            not isinstance(f, str)
+            or not _KEY_RULE_RE.match(f)
+            or not isinstance(ks, list)
+            or any(not _valid_ckey(k) for k in ks)
+            for f, ks in clones.items()
+        )
+    ):
+        return doc, Trust(False, "clones key shape invalid")
     ref = doc.get("accepted_ref") or {}
     if ref:
         ok, reason = _verify_accepted_ref(path, ref)

@@ -132,6 +132,12 @@ RULE_SPECS: dict[str, RuleSpec] = {
         "Relative delta of decoded-PCM spectral-flatness p50/p95/p99 vs "
         "baseline exceeds the gate.", "warning", "drift",
     ),
+    "neardup:transcript": RuleSpec(
+        "CCSV022", "New near-dup transcript cluster",
+        "A transitive near-duplicate transcript cluster (LSH + exact-"
+        "Jaccard verified) whose '<min_id>|<size>' key is not in the "
+        "baseline's accepted clones section.", "warning", "uniqueness",
+    ),
     "schema:removed": RuleSpec(
         "CCSV014", "Schema column removed",
         "A column present in the baseline schema is gone (breaking).",

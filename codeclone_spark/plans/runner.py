@@ -43,6 +43,7 @@ from codeclone_spark.operators.rules import (
     ALLOWED_SR,
     DRIFT_RULE_IDS,
     DUR_BIN_EDGES,
+    NEARDUP_RULE_ID,
     NUMERIC_STATS_COLUMNS,
     RULE_SEVERITY,
     SCHEMA_RULE_IDS,
@@ -99,6 +100,9 @@ _RULE_ACTIONS = {
                            "partition (or gate ingest on fixture delivery)",
     "uniq:clip_id": "deduplicate at ingest; add a clip_id uniqueness "
                     "constraint upstream",
+    "neardup:transcript": "review the new clone groups; purge via the "
+                          "dedup keep-list manifest or accept them with "
+                          "--update-baseline",
     "stats:null:dur_ms": "backfill dur_ms upstream or drop rows at ingest",
     "stats:null:transcript": "backfill transcripts upstream or route to "
                              "the transcription queue",
@@ -150,6 +154,20 @@ class RunConfig:
     # must not funnel through one writer.  The run digest is per-rule and
     # layout-independent either way (verified equal in tests).
     partitioned_sinks: bool = False
+    # Near-dup transcript clone groups (the reference's core clone-group
+    # loop: pairwise matches -> transitive groups -> baseline diff ->
+    # fail-on-new gate, baseline/diff.py:23-32 + findings.py:96-115).
+    # Opt-in: the stage adds an LSH + verify + connected-components pass
+    # over every transcript, a separately-benched cost the headline
+    # validation pass should not silently absorb.
+    neardup_transcript: bool = False
+    # exact-Jaccard acceptance threshold for a verified near-dup pair
+    neardup_threshold: float = 0.9
+    # LSH bucket cap (caps as backpressure) for the candidate stage
+    neardup_max_bucket: int = 1024
+    # bound the LSH aggregation buffers too (adversarial boilerplate
+    # corpora; second pass over the signature pipeline, identical output)
+    neardup_prefilter_hot: bool = False
     # Per-(rule, partition) violation exemplar cap: a pathological table
     # (e.g. an all-null column at 10^12 rows) must not materialize 10^12
     # violation rows.  Gate counts/verdicts/report totals use TRUE pre-cap
@@ -217,10 +235,10 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             if not rid or not part or not _re.match(r"^[A-Za-z0-9:_\-]+$", rid):
                 raise ValueError(f"malformed suppression {s!r} (rule_id:partition)")
             # Partition-scoped directives never match table-scope rules:
-            # uniq:clip_id is attributed to min(part) for reporting only, so
-            # "uniq:clip_id:<part>" would suppress dup groups spanning OTHER
-            # partitions.  Only the '*' wildcard may suppress them.
-            if part != "*" and rid in TABLE_RULE_IDS:
+            # uniq:clip_id (and near-dup clusters) are attributed to
+            # min(part) for reporting only, so "rule:<part>" would suppress
+            # groups spanning OTHER partitions.  Only '*' may suppress them.
+            if part != "*" and rid in (TABLE_RULE_IDS + [NEARDUP_RULE_ID]):
                 raise ValueError(
                     f"suppression {rid}:{part}: table-scope rules accept "
                     "only the '*' partition"
@@ -580,6 +598,104 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         F.lit(RULE_SEVERITY["uniq:clip_id"]).alias("severity"),
     )
 
+    # --- stage 4d (opt-in): near-dup transcript clone groups — the
+    # reference's core clone-group loop (pairwise matches -> transitive
+    # groups -> baseline diff -> fail-on-new gate, baseline/diff.py:23-32 +
+    # report/document/findings.py:96-115) over the composed dedup ladder.
+    # Clusters are keyed "<min_member_id>|<size>" (the sorted-group-id
+    # convention, clone_baseline.py:511-527; SIZE is part of the identity,
+    # so a cluster that grows or shrinks re-gates as NEW), diffed against
+    # the baseline's accepted `clones` section, and surfaced as one
+    # violation row per cluster plus ONE table-scope verdict (drift-rule
+    # convention — clusters span partitions, so the dense per-partition
+    # grid must not claim them; `partition` on the violation row is
+    # min(part) for reporting only).
+    neardup_viol = None
+    neardup_clusters = None
+    neardup_metrics: dict[str, Any] = {}
+    neardup_stats: tuple[int, int] | None = None
+    if cfg.neardup_transcript:
+        from codeclone_spark.operators.dedup import lsh_verified_pairs
+        from codeclone_spark.operators.graph import connected_components
+
+        ndocs = clips.select(
+            F.col("clip_id").alias("doc_id"), "part", "transcript"
+        ).filter(
+            F.col("transcript").isNotNull() & (F.length("transcript") > 0)
+        )
+        nd_edges = lsh_verified_pairs(
+            ndocs,
+            "doc_id",
+            "transcript",
+            max_bucket=cfg.neardup_max_bucket or None,
+            threshold=cfg.neardup_threshold,
+            prefilter_hot=cfg.neardup_prefilter_hot,
+        )
+        comps = connected_components(
+            nd_edges,
+            scratch_dir=os.path.join(cfg.out_dir, "neardup_scratch"),
+        )
+        accepted_clones = sorted(
+            ((snapshot or {}).get("clones") or {}).get(NEARDUP_RULE_ID, [])
+        )
+        acc_ck = F.broadcast(
+            spark.createDataFrame(
+                [(k,) for k in accepted_clones] or [("\x00never",)], ["ckey"]
+            ).withColumn("known", F.lit(True))
+        )
+        # comps reads from its scratch materialization, so each consumer
+        # below (summary agg, violation sink, baseline keys) costs a tiny
+        # parquet scan + one column-pruned id join — no persist to leak.
+        neardup_clusters = (
+            comps.join(
+                ndocs.select(F.col("doc_id").alias("id"), "part"), "id"
+            )
+            .groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("size"),
+                F.min("part").alias("partition"),
+            )
+            .withColumn(
+                "ckey",
+                F.concat_ws("|", "cluster_id", F.col("size").cast("string")),
+            )
+            .join(acc_ck, "ckey", "left")
+        )
+        ndr = neardup_clusters.agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.coalesce(
+                F.sum(F.when(F.col("known").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).alias("n_new"),
+            F.coalesce(F.sum("size"), F.lit(0)).alias("n_members"),
+            F.coalesce(F.max("size"), F.lit(0)).alias("largest"),
+        ).collect()[0]
+        neardup_stats = (int(ndr["n_clusters"]), int(ndr["n_new"]))
+        neardup_metrics = {
+            "threshold": cfg.neardup_threshold,
+            "n_clusters": int(ndr["n_clusters"]),
+            "n_new": int(ndr["n_new"]),
+            "n_known": int(ndr["n_clusters"]) - int(ndr["n_new"]),
+            "n_members": int(ndr["n_members"]),
+            "largest_cluster": int(ndr["largest"]),
+        }
+        # observed carries only baseline-independent facts (size), so the
+        # run digest is stable across accept cycles — known/new lives in
+        # the verdict + metrics, exactly like the vkey-accepted rules
+        neardup_viol = neardup_clusters.select(
+            F.lit(NEARDUP_RULE_ID).alias("rule_id"),
+            "partition",
+            F.col("cluster_id").alias("clip_id"),
+            F.concat_ws(
+                "", F.lit("size="), F.col("size").cast("string")
+            ).alias("observed"),
+            F.lit("near-dup cluster accepted in baseline clones").alias(
+                "expected"
+            ),
+            F.lit(RULE_SEVERITY[NEARDUP_RULE_ID]).alias("severity"),
+        )
+        _mark("neardup_clusters")
+
     # Assemble row violations from the waves the ledger references — each
     # wave dir FILTERED to the partitions the ledger assigns to it.  After a
     # crash-resume, a partition can be re-processed in a new wave while its
@@ -599,6 +715,8 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     all_viol = uniq_viol
     for wdf in wave_dfs:
         all_viol = all_viol.unionByName(wdf)
+    if neardup_viol is not None:
+        all_viol = all_viol.unionByName(neardup_viol)
 
     # --- stage 5b: baseline accepted-set diff.  Row-rule counts come from
     # the ledger's TRUE per-(partition, rule) tallies (aggregated before the
@@ -606,7 +724,11 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     # which never passes through a wave — is diffed here (broadcast
     # anti-join, the reference's diff_clone_groups set difference,
     # baseline/diff.py:23-32).
-    keyed = all_viol.withColumn("vkey", violation_key(all_viol))
+    # Near-dup rows never enter the vkey accepted set: their acceptance
+    # lives in the baseline `clones` section keyed "<min_id>|<size>" (a
+    # vkey lacks the size, so a grown cluster would silently stay accepted)
+    novkey = all_viol.filter(F.col("rule_id") != NEARDUP_RULE_ID)
+    keyed = novkey.withColumn("vkey", violation_key(novkey))
     uniq_keyed = uniq_viol.withColumn("vkey", violation_key(uniq_viol))
     uniq_counts = (
         uniq_keyed.join(acc_df, "vkey", "left")
@@ -644,6 +766,24 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     counts = uniq_counts.unionByName(
         spark.createDataFrame(row_count_tuples, counts_schema)
     )
+    if neardup_stats is not None:
+        # joins the counts frame so suppression directives and the review
+        # queue treat clusters like any other finding; the dense verdict
+        # grid drops the row (TABLE_SCOPE is not a partition) — the rule's
+        # single table-scope verdict is appended with the drift rows below
+        counts = counts.unionByName(
+            spark.createDataFrame(
+                [
+                    (
+                        TABLE_SCOPE,
+                        NEARDUP_RULE_ID,
+                        neardup_stats[0],
+                        neardup_stats[1],
+                    )
+                ],
+                counts_schema,
+            )
+        )
 
     # --- suppression directives: zero n_new for matching (rule, partition)
     # pairs (gate-level allowlist; the violation rows stay in the output)
@@ -786,6 +926,46 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
                 )
             )
 
+    # --- near-dup gate: ONE table-scope verdict, fail on NEW clusters
+    # (reference fail_on_new semantics, surfaces/cli/execution.py); a
+    # '*'-scoped suppression directive converts new clusters to accepted
+    # debt exactly like the counts-frame rules (already tallied into
+    # n_suppressed_directive via the counts row above)
+    if neardup_stats is not None:
+        nd_n, nd_new = neardup_stats
+        nd_supp = any(
+            rid == NEARDUP_RULE_ID and part == "*" for rid, part in directives
+        )
+        nd_eff = 0 if nd_supp else nd_new
+        nd_budget, _ = cfg.gates.budget(NEARDUP_RULE_ID)
+        nd_ok = nd_budget is None or nd_eff <= nd_budget
+        if nd_ok and nd_n == 0:
+            nd_reason = f"{NEARDUP_RULE_ID}: ok (0 clusters)"
+        elif nd_ok:
+            nd_reason = (
+                f"{NEARDUP_RULE_ID}: ok ({nd_n} cluster(s), {nd_eff} new"
+                + (
+                    ", suppressed by directive"
+                    if nd_supp and nd_new
+                    else ""
+                )
+                + ", within budget)"
+            )
+        else:
+            nd_reason = (
+                f"{NEARDUP_RULE_ID}: {nd_eff} new near-dup cluster(s) "
+                f"exceed budget (max_count={nd_budget})"
+            )
+        drift_verdicts.append(
+            (
+                TABLE_SCOPE,
+                NEARDUP_RULE_ID,
+                nd_ok,
+                nd_reason,
+                "new" if nd_eff > 0 else "known",
+            )
+        )
+
     drift_df = spark.createDataFrame(
         drift_verdicts, ["partition", "rule_id", "pass", "reason", "novelty"]
     )
@@ -897,6 +1077,9 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             rule_counts[rid] = rule_counts.get(rid, 0) + int(nv)
     if "uniq:clip_id" in exemplar_counts:
         rule_counts["uniq:clip_id"] = exemplar_counts["uniq:clip_id"]
+    if NEARDUP_RULE_ID in exemplar_counts:
+        # one row per cluster, written uncapped like uniq:clip_id
+        rule_counts[NEARDUP_RULE_ID] = exemplar_counts[NEARDUP_RULE_ID]
     n_viol_total = sum(rule_counts.values())
     by_severity: dict[str, int] = {}
     for rid, n in rule_counts.items():
@@ -995,6 +1178,10 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         "elapsed_sec": round(time.monotonic() - t0, 3),
         "phases": {**phases, "report_aggs": round(time.monotonic() - _last[0], 3)},
     }
+    if cfg.neardup_transcript:
+        # present only when the stage ran (report schema 1.2): absence
+        # means "not computed", never "zero clusters"
+        report["metrics"]["neardup"] = neardup_metrics
     body = _round_floats(
         {k: v for k, v in report.items() if k not in ("elapsed_sec", "phases")}
     )
@@ -1022,6 +1209,18 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             all_keys = [
                 r["vkey"] for r in distinct_keys.orderBy("vkey").collect()
             ]
+        # clones section: replace this run's family when the stage ran,
+        # CARRY FORWARD families from the prior snapshot otherwise — an
+        # update run with the stage disabled must not silently un-accept
+        # previously accepted clone groups.  Keys are one per clone GROUP
+        # (not per member; the reference inlines exactly these in its
+        # baseline JSON, clone_baseline.py:511-527), so the driver collect
+        # is group-cardinality — orders of magnitude below row counts.
+        clones_out = dict(((snapshot or {}).get("clones") or {}))
+        if cfg.neardup_transcript and neardup_clusters is not None:
+            clones_out[NEARDUP_RULE_ID] = sorted(
+                r["ckey"] for r in neardup_clusters.select("ckey").collect()
+            )
         bl.write_baseline(
             cfg.baseline_path,
             stats=stats_doc,
@@ -1031,6 +1230,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             created_at=cfg.created_at,
             schema={"columns": current_schema, "partition_keys": ["part"]},
             accepted_ref=ref,
+            clones=clones_out,
         )
         return RunResult(EXIT_OK, report, violations_path, verdicts_path)
 

@@ -61,6 +61,11 @@ def _cpu_steal():
     vals = [int(x) for x in f[1:]]
     return vals[7], sum(vals)
 
+from pyspark.sql import functions as F
+
+from codeclone_spark.operators.dedup import lsh_verified_pairs
+from codeclone_spark.operators.graph import connected_components
+
 for i in range({runs} + 1):  # first run = warmup
     # data-plane measurement: the decode stage alone (map-only over the
     # scan) — the part of the job that is distributed work rather than
@@ -68,6 +73,22 @@ for i in range({runs} + 1):  # first run = warmup
     t0 = time.monotonic()
     decode_stage(read_clips(spark, {data_dir!r})).count()
     decode_t = time.monotonic() - t0
+    # dedup-ladder measurement (LSH -> exact verify -> connected
+    # components over every transcript): the composed shape whose
+    # ReusedExchange / bounded-iteration behavior must hold at scale
+    cc_scratch = f"/tmp/scaling_cc_{{cores}}"
+    shutil.rmtree(cc_scratch, ignore_errors=True)
+    t0 = time.monotonic()
+    docs = (
+        read_clips(spark, {data_dir!r})
+        .select(F.col("clip_id").alias("doc_id"), "transcript")
+        .filter(F.col("transcript").isNotNull() & (F.length("transcript") > 0))
+    )
+    pairs = lsh_verified_pairs(docs, "doc_id", "transcript", threshold=0.9)
+    comps = connected_components(pairs, scratch_dir=cc_scratch)
+    n_clusters = comps.select("cluster_id").distinct().count()
+    dedup_t = time.monotonic() - t0
+    shutil.rmtree(cc_scratch, ignore_errors=True)
     out = f"/tmp/scaling_out_{{cores}}"
     shutil.rmtree(out, ignore_errors=True)
     s0, tot0 = _cpu_steal()
@@ -76,7 +97,8 @@ for i in range({runs} + 1):  # first run = warmup
     dt = time.monotonic() - t0
     s1, tot1 = _cpu_steal()
     steal_pct = round(100.0 * (s1 - s0) / max(tot1 - tot0, 1), 2)
-    results.append({{"t": dt, "decode_t": decode_t, "steal_pct": steal_pct,
+    results.append({{"t": dt, "decode_t": decode_t, "dedup_t": dedup_t,
+                    "n_clusters": n_clusters, "steal_pct": steal_pct,
                     "digest": res.report["integrity"]["run_digest"],
                     "phases": res.report["phases"]}})
     shutil.rmtree(out, ignore_errors=True)
@@ -166,15 +188,18 @@ def main() -> None:
         ts = [x["t"] for x in rs]
         wave = [x["phases"].get("wave_facts_and_row_rules", 0.0) for x in rs]
         dec = [x.get("decode_t", 0.0) for x in rs]
+        ddp = [x.get("dedup_t", 0.0) for x in rs]
         stl = [x.get("steal_pct", -1.0) for x in rs]
         return {
             "times": [round(t, 3) for t in ts],
             "steal_pct": stl,
             "decode_times": [round(t, 3) for t in dec],
+            "dedup_times": [round(t, 3) for t in ddp],
             "median": statistics.median(ts),
             "min": min(ts),
             "wave_min": min(wave),
             "decode_min": min(dec) if dec else 0.0,
+            "dedup_min": min(ddp) if ddp else 0.0,
         }
 
     lo, hi = stats(lo_runs), stats(hi_runs)
@@ -187,6 +212,9 @@ def main() -> None:
     eff_med = eff(lo["median"], hi["median"])
     eff_wave = eff(lo["wave_min"], hi["wave_min"])
     eff_decode = eff(lo["decode_min"], hi["decode_min"])
+    eff_dedup = eff(lo["dedup_min"], hi["dedup_min"])
+    clusters = {x["n_clusters"] for x in lo_runs + hi_runs if "n_clusters" in x}
+    dedup_det_ok = len(clusters) == 1
 
     # serial/parallel decomposition from min walls:
     # t = W/cores + C  ->  W = (t_lo - t_hi) / (1/n_low - 1/n_high)
@@ -214,6 +242,10 @@ def main() -> None:
         "decode_stage_eff": round(eff_decode, 3),
         "decode_times_low": lo["decode_times"],
         "decode_times_high": hi["decode_times"],
+        "dedup_ladder_eff": round(eff_dedup, 3),
+        "dedup_times_low": lo["dedup_times"],
+        "dedup_times_high": hi["dedup_times"],
+        "dedup_clusters_identical": dedup_det_ok,
         "throughput_low_min": round(n_clips / lo["min"], 1),
         "throughput_high_min": round(n_clips / hi["min"], 1),
         "parallel_work_core_sec": round(W, 1),
@@ -257,6 +289,9 @@ strictly additive).
 | efficiency of the distributed wave phase alone | {result["wave_phase_eff"]} |
 | efficiency of the decode data-plane stage alone | {result["decode_stage_eff"]} |
 | decode-stage walls at N / 4N (s) | {lo["decode_times"]} / {hi["decode_times"]} |
+| efficiency of the dedup ladder (LSH→verify→clusters) | {result["dedup_ladder_eff"]} |
+| dedup-ladder walls at N / 4N (s) | {lo["dedup_times"]} / {hi["dedup_times"]} |
+| dedup determinism (identical cluster count, all runs+levels) | {result["dedup_clusters_identical"]} |
 | parallel work W (core-s) / serial driver latency C (s) | {result["parallel_work_core_sec"]} / {result["serial_latency_sec"]} |
 | projected efficiency at 10x data (W scales, C constant) | {result["projected_eff_10x_data"]} |
 | projected efficiency at 100x data | {result["projected_eff_100x_data"]} |

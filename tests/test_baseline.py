@@ -101,11 +101,8 @@ def _resign(path):
     """Re-sign a mutated baseline doc (valid sha; trust must come from the
     OTHER checks)."""
     doc = json.load(open(path))
-    payload_keys = [
-        "stats", "histograms", "uniqueness", "accepted_violations",
-        "schema", "accepted_ref",
-    ]
-    payload = {k: doc[k] for k in payload_keys if k in doc}
+    minor = int(doc["meta"]["schema_version"].split(".")[1])
+    payload = {k: doc[k] for k in bl.payload_keys(minor) if k in doc}
     doc["meta"]["payload_sha256"] = bl.payload_sha256(payload)
     json.dump(doc, open(path, "w"))
 
@@ -162,6 +159,31 @@ def test_trust_rejects_malformed_accepted_keys(tmp_path):
         _, trust = bl.load_baseline(path)
         assert not trust.trusted, bad
         assert "key shape invalid" in trust.reason, bad
+
+
+def test_trust_rejects_malformed_clone_keys(tmp_path):
+    path, _ = _write(tmp_path)
+    # valid: '<min_member_id>|<size>' keys under a rule-id family
+    doc = json.load(open(path))
+    doc["clones"] = {"neardup:transcript": ["clip-0001|3", "clip-0009|2"]}
+    json.dump(doc, open(path, "w"))
+    _resign(path)
+    snap, trust = bl.load_baseline(path)
+    assert trust.trusted, trust.reason
+    assert snap["clones"]["neardup:transcript"] == ["clip-0001|3", "clip-0009|2"]
+    for bad in (
+        {"neardup:transcript": ["no-size-part"]},
+        {"neardup:transcript": ["id|notanumber"]},
+        {"bad family!": ["a|2"]},
+        {"neardup:transcript": "a|2"},
+    ):
+        doc = json.load(open(path))
+        doc["clones"] = bad
+        json.dump(doc, open(path, "w"))
+        _resign(path)
+        _, trust = bl.load_baseline(path)
+        assert not trust.trusted, bad
+        assert "clones key shape invalid" in trust.reason, bad
 
 
 def test_schema_diff_pure():

@@ -99,13 +99,8 @@ def test_baseline_change_invalidates_split(spark, tiny_dir, tmp_path_factory):
     kept = [k for k in doc["accepted_violations"] if not k.startswith("audio:snr")]
     assert len(kept) < len(doc["accepted_violations"])
     doc["accepted_violations"] = kept
-    payload = {
-        k: doc[k]
-        for k in (
-            "stats", "histograms", "uniqueness", "accepted_violations",
-            "schema", "accepted_ref",
-        )
-    }
+    minor = int(doc["meta"]["schema_version"].split(".")[1])
+    payload = {k: doc[k] for k in bl.payload_keys(minor)}
     doc["meta"]["payload_sha256"] = bl.payload_sha256(payload)
     json.dump(doc, open(base, "w"))
     r2 = run(spark, RunConfig(data_dir=tiny_dir, out_dir=out, baseline_path=base))

@@ -144,6 +144,24 @@ def test_lsh_verified_pairs_index_is_candidate_confined(spark):
     assert "CartesianProduct" not in body
 
 
+def test_lsh_verified_pairs_reuses_exchanges(spark):
+    """The composed ladder references the LSH candidate subplan twice
+    (pair stream + id-set semi-join); its docstring promises Spark reuses
+    those exchanges instead of recomputing the MinHash pipeline.  Reuse
+    only materializes in the AQE-FINAL plan, so assert after an action."""
+    from codeclone_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"shared boilerplate text block number {i % 3}") for i in range(24)],
+        ["doc_id", "text"],
+    )
+    pairs = dd.lsh_verified_pairs(docs, "doc_id", "text")
+    pairs.collect()  # materialize so AQE finalizes the plan
+    final = _plan(pairs)
+    assert "isFinalPlan=true" in final
+    assert final.count("ReusedExchange") >= 2
+
+
 def test_filter_pushdown_to_parquet(spark, tiny_dir):
     clips = read_clips(spark, tiny_dir)
     q = clips.filter(F.col("sr_hz") == 16000).select("clip_id")

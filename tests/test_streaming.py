@@ -143,13 +143,8 @@ def test_stream_drift_monitor(spark, tiny_dir, tmp_path):
     doc = json.load(open(base))
     counts = doc["histograms"]["dur_ms"]["counts"]
     doc["histograms"]["dur_ms"]["counts"] = counts[::-1]
-    payload = {
-        k: doc[k]
-        for k in (
-            "stats", "histograms", "uniqueness", "accepted_violations",
-            "schema", "accepted_ref",
-        )
-    }
+    minor = int(doc["meta"]["schema_version"].split(".")[1])
+    payload = {k: doc[k] for k in bl.payload_keys(minor)}
     doc["meta"]["payload_sha256"] = bl.payload_sha256(payload)
     json.dump(doc, open(base, "w"))
     out2, ckpt2 = str(tmp_path / "drift2"), str(tmp_path / "ckpt2")
