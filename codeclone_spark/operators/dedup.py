@@ -331,7 +331,13 @@ def lsh_verified_pairs(
         .distinct()
     )
     sh = char_shingles(df, id_col, text_col, k)  # set semantics (Jaccard)
-    sh = sh.join(F.broadcast(cand_ids), "id", "semi")
+    # No broadcast HINT on the candidate-id set: on a dup-heavy corpus the
+    # candidates ARE most of the corpus, and a forced broadcast collects
+    # the whole set to the driver (measured: >1 GiB / maxResultSize abort
+    # at a 601k-doc 10x-replicated corpus).  Left to the planner, AQE
+    # broadcasts when the set is small and falls back to a shuffled
+    # semi-join when it is not — both are correct confinement.
+    sh = sh.join(cand_ids, "id", "semi")
     # one shingle-SET ARRAY per candidate doc (bounded by the doc's own
     # length — the per-row analog of the bucket-cap discipline); |A∩B| is
     # then a map-side array_intersect per candidate pair: two linear
@@ -353,9 +359,16 @@ def lsh_verified_pairs(
     # oracle's WHERE clause at the edge (see jaccard_pairs note); Catalyst
     # CSEs the repeated array_intersect so this costs nothing extra
     raw = inter / (F.col("sz_a") + F.col("sz_b") - inter).cast("double")
+    # shuffle_hash HINT on the array side: per-doc shingle arrays compress
+    # far below their serialized size (repetitive text), so AQE's
+    # compressed-size broadcast heuristic can elect to broadcast a frame
+    # that serializes to >1 GiB on the driver (measured maxResultSize
+    # abort at a 601k-doc dup-heavy corpus).  Doc-CONTENT frames must
+    # never be broadcast; a shuffled hash join on the unique id key is
+    # linear, sort-free and skew-free at any scale.
     return (
-        cands.join(a_side, "id_a")
-        .join(b_side, "id_b")
+        cands.join(a_side.hint("shuffle_hash"), "id_a")
+        .join(b_side.hint("shuffle_hash"), "id_b")
         .filter(raw >= threshold)
         .select("id_a", "id_b", F.round(raw, 6).alias("jaccard"))
     )

@@ -66,42 +66,70 @@ from pyspark.sql import functions as F
 from codeclone_spark.operators.dedup import lsh_verified_pairs
 from codeclone_spark.operators.graph import connected_components
 
+# Phase selection (env): each measured phase costs a full pass per
+# iteration, so a 2-core round with every phase on runs ~25 min at the
+# 10x corpus.  SCALING_LADDER=0 skips the dedup ladder,
+# SCALING_VALIDATION=0 skips decode + the e2e validation run — letting
+# the two scaling tables be produced by two affordable sequential
+# benches instead of one 2h+ monolith.
+DO_LADDER = os.environ.get("SCALING_LADDER", "1") != "0"
+DO_VAL = os.environ.get("SCALING_VALIDATION", "1") != "0"
+
 for i in range({runs} + 1):  # first run = warmup
     # data-plane measurement: the decode stage alone (map-only over the
     # scan) — the part of the job that is distributed work rather than
     # driver orchestration
-    t0 = time.monotonic()
-    decode_stage(read_clips(spark, {data_dir!r})).count()
-    decode_t = time.monotonic() - t0
+    decode_t = 0.0
+    if DO_VAL:
+        t0 = time.monotonic()
+        decode_stage(read_clips(spark, {data_dir!r})).count()
+        decode_t = time.monotonic() - t0
     # dedup-ladder measurement (LSH -> exact verify -> connected
     # components over every transcript): the composed shape whose
     # ReusedExchange / bounded-iteration behavior must hold at scale
-    cc_scratch = f"/tmp/scaling_cc_{{cores}}"
-    shutil.rmtree(cc_scratch, ignore_errors=True)
-    t0 = time.monotonic()
-    docs = (
-        read_clips(spark, {data_dir!r})
-        .select(F.col("clip_id").alias("doc_id"), "transcript")
-        .filter(F.col("transcript").isNotNull() & (F.length("transcript") > 0))
-    )
-    pairs = lsh_verified_pairs(docs, "doc_id", "transcript", threshold=0.9)
-    comps = connected_components(pairs, scratch_dir=cc_scratch)
-    n_clusters = comps.select("cluster_id").distinct().count()
-    dedup_t = time.monotonic() - t0
-    shutil.rmtree(cc_scratch, ignore_errors=True)
-    out = f"/tmp/scaling_out_{{cores}}"
-    shutil.rmtree(out, ignore_errors=True)
-    s0, tot0 = _cpu_steal()
-    t0 = time.monotonic()
-    res = run(spark, RunConfig(data_dir={data_dir!r}, out_dir=out, gating=False))
-    dt = time.monotonic() - t0
-    s1, tot1 = _cpu_steal()
-    steal_pct = round(100.0 * (s1 - s0) / max(tot1 - tot0, 1), 2)
+    dedup_t, n_clusters = 0.0, -1
+    if DO_LADDER:
+        cc_scratch = f"/tmp/scaling_cc_{{cores}}"
+        shutil.rmtree(cc_scratch, ignore_errors=True)
+        t0 = time.monotonic()
+        docs = (
+            read_clips(spark, {data_dir!r})
+            .select(F.col("clip_id").alias("doc_id"), "transcript")
+            .filter(
+                F.col("transcript").isNotNull() & (F.length("transcript") > 0)
+            )
+        )
+        # max_bucket=64: this synthetic corpus's 2-4-word transcripts are
+        # pathologically duplicative (p50 group size 10, max 160 at x10),
+        # so uncapped LSH buckets merge whole group families and the
+        # candidate stage degenerates into a clique explosion the
+        # EXACT-dup pass should own.  The cap is the operator's designed
+        # backpressure; with it the ladder measures the representative
+        # shape (4.8M candidates -> 1.9M verified pairs -> 27k clusters
+        # at x10).
+        pairs = lsh_verified_pairs(
+            docs, "doc_id", "transcript", threshold=0.9, max_bucket=64
+        )
+        comps = connected_components(pairs, scratch_dir=cc_scratch)
+        n_clusters = comps.select("cluster_id").distinct().count()
+        dedup_t = time.monotonic() - t0
+        shutil.rmtree(cc_scratch, ignore_errors=True)
+    dt, steal_pct, digest, phases = 0.0, -1.0, "skipped", {{}}
+    if DO_VAL:
+        out = f"/tmp/scaling_out_{{cores}}"
+        shutil.rmtree(out, ignore_errors=True)
+        s0, tot0 = _cpu_steal()
+        t0 = time.monotonic()
+        res = run(spark, RunConfig(data_dir={data_dir!r}, out_dir=out, gating=False))
+        dt = time.monotonic() - t0
+        s1, tot1 = _cpu_steal()
+        steal_pct = round(100.0 * (s1 - s0) / max(tot1 - tot0, 1), 2)
+        digest = res.report["integrity"]["run_digest"]
+        phases = res.report["phases"]
+        shutil.rmtree(out, ignore_errors=True)
     results.append({{"t": dt, "decode_t": decode_t, "dedup_t": dedup_t,
                     "n_clusters": n_clusters, "steal_pct": steal_pct,
-                    "digest": res.report["integrity"]["run_digest"],
-                    "phases": res.report["phases"]}})
-    shutil.rmtree(out, ignore_errors=True)
+                    "digest": digest, "phases": phases}})
 print("RESULT " + json.dumps(results[1:]))
 spark.stop()
 """
@@ -181,8 +209,8 @@ def main() -> None:
         print(f"round {r}: lo={lo_runs[-1]['t']:.1f}s hi={hi_runs[-1]['t']:.1f}s",
               flush=True)
 
-    digests = {x["digest"] for x in lo_runs + hi_runs}
-    det_ok = len(digests) == 1
+    digests = {x["digest"] for x in lo_runs + hi_runs} - {"skipped"}
+    det_ok = len(digests) == 1 if digests else None
 
     def stats(rs):
         ts = [x["t"] for x in rs]
@@ -206,6 +234,8 @@ def main() -> None:
     ratio = n_high / n_low
 
     def eff(t_lo: float, t_hi: float) -> float:
+        if t_lo <= 0 or t_hi <= 0:  # phase skipped via env
+            return float("nan")
         return (n_clips / t_hi) / (ratio * (n_clips / t_lo))
 
     eff_min = eff(lo["min"], hi["min"])
@@ -213,8 +243,12 @@ def main() -> None:
     eff_wave = eff(lo["wave_min"], hi["wave_min"])
     eff_decode = eff(lo["decode_min"], hi["decode_min"])
     eff_dedup = eff(lo["dedup_min"], hi["dedup_min"])
-    clusters = {x["n_clusters"] for x in lo_runs + hi_runs if "n_clusters" in x}
-    dedup_det_ok = len(clusters) == 1
+    clusters = {
+        x["n_clusters"]
+        for x in lo_runs + hi_runs
+        if x.get("n_clusters", -1) >= 0
+    }
+    dedup_det_ok = len(clusters) == 1 if clusters else None
 
     # serial/parallel decomposition from min walls:
     # t = W/cores + C  ->  W = (t_lo - t_hi) / (1/n_low - 1/n_high)
@@ -224,6 +258,8 @@ def main() -> None:
     def projected_eff(scale: float) -> float:
         tl = scale * W / n_low + C
         th = scale * W / n_high + C
+        if tl <= 0 or th <= 0:  # validation phase skipped via env
+            return float("nan")
         return (1.0 / th) / (ratio / tl)
 
     result = {
@@ -306,8 +342,12 @@ distributed portion itself scales.
 
 Reproduce: `python scripts/scaling_bench.py {profile} {n_low} {n_high} {rounds}`
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # BENCH.md is hand-curated (variance notes, per-round history); write
+    # the fresh table next to it for manual merge instead of clobbering
+    out_md = os.path.join(REPO, "BENCH_scaling_run.md")
+    with open(out_md, "w") as f:
         f.write(md)
+    print(f"wrote {out_md} (merge the table into BENCH.md)")
 
 
 if __name__ == "__main__":
