@@ -730,8 +730,14 @@ _LSH_MAX_BUCKET = 40  # below the sf0.01 max bucket (60) so the oracle exercises
 
 def dedup_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
+    # CCSPARK_LSH_PREFILTER_HOT=1 routes the registry query through the
+    # buffer-bounded hot-key prefilter (count + broadcast anti-join BEFORE
+    # collect_list).  Output is identical by construction — the oracle
+    # stays green on either path — so the knob exists purely to bench and
+    # soak the adversarial-corpus shape end-to-end.
+    hot = os.environ.get("CCSPARK_LSH_PREFILTER_HOT", "0") == "1"
     return dd.lsh_candidate_pairs(
-        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET
+        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, prefilter_hot=hot
     ).orderBy("id_a", "id_b")
 
 

@@ -206,7 +206,9 @@ def main() -> None:
     for r in range(rounds):  # interleave levels
         lo_runs += run_level(n_low, data_dir, runs_per_jvm, n_shuffle)
         hi_runs += run_level(n_high, data_dir, runs_per_jvm, n_shuffle)
-        print(f"round {r}: lo={lo_runs[-1]['t']:.1f}s hi={hi_runs[-1]['t']:.1f}s",
+        # dump raw per-run records immediately: a crash in the summary
+        # arithmetic must never lose 45 minutes of measurements
+        print(f"round {r}: lo={json.dumps(lo_runs)} hi={json.dumps(hi_runs)}",
               flush=True)
 
     digests = {x["digest"] for x in lo_runs + hi_runs} - {"skipped"}
@@ -282,8 +284,12 @@ def main() -> None:
         "dedup_times_low": lo["dedup_times"],
         "dedup_times_high": hi["dedup_times"],
         "dedup_clusters_identical": dedup_det_ok,
-        "throughput_low_min": round(n_clips / lo["min"], 1),
-        "throughput_high_min": round(n_clips / hi["min"], 1),
+        "throughput_low_min": (
+            round(n_clips / lo["min"], 1) if lo["min"] > 0 else None
+        ),
+        "throughput_high_min": (
+            round(n_clips / hi["min"], 1) if hi["min"] > 0 else None
+        ),
         "parallel_work_core_sec": round(W, 1),
         "serial_latency_sec": round(C, 2),
         "projected_eff_10x_data": round(projected_eff(10), 3),
