@@ -21,6 +21,7 @@ near-dup — the standard web-scale dedup ladder.  Design notes per operator:
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -292,6 +293,7 @@ def lsh_verified_pairs(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     threshold: float = 0.6,
     prefilter_hot: bool = False,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """The COMPOSED dedup ladder: cheap LSH banding proposes candidate
     pairs, exact n-gram Jaccard verifies ONLY those candidates — the
@@ -313,9 +315,21 @@ def lsh_verified_pairs(
     bounded by the document's own length — the same per-row boundedness as
     the decode passes, not a skew-prone aggregation.
 
-    The MinHash pipeline appears under both candidate consumers; its
-    shuffle exchanges are identical subplans, so Spark reuses them
-    (ReusedExchange) instead of recomputing — full lineage, no checkpoint.
+    The MinHash pipeline appears under both candidate consumers (pair
+    stream + id-set confinement).  At small scale AQE deduplicates the
+    identical subplans (ReusedExchange, plan-asserted in
+    test_plans_physical.py); at a 601k-doc corpus the final adaptive plan
+    was MEASURED to contain zero ReusedExchange nodes — runtime
+    re-optimization canonicalizes the two consumers differently and the
+    MinHash pipeline silently computes twice.  Exchange reuse is an
+    optimizer COURTESY, not a contract, so scale call-sites (the engine's
+    neardup stage, the scaling bench) pass *scratch_dir*: the candidate
+    pairs are materialized there as parquet once and both consumers read
+    the scan — upstream computed exactly once by construction,
+    recompute-on-executor-loss rolls back to the scratch file (the same
+    checkpoint discipline as connected_components).  With
+    ``scratch_dir=None`` the plan stays fully lazy/lineage-complete —
+    right for small corpora and required by the SQL-twin oracle harness.
 
     Returns (id_a, id_b, jaccard) for candidates with exact Jaccard >=
     *threshold*; a pair LSH never proposed is absent even if its true
@@ -325,6 +339,10 @@ def lsh_verified_pairs(
         df, id_col, text_col, k, n_hashes, band_size, max_bucket,
         prefilter_hot=prefilter_hot,
     )
+    if scratch_dir is not None:
+        path = os.path.join(scratch_dir, "cands")
+        cands.write.mode("overwrite").parquet(path)
+        cands = df.sparkSession.read.parquet(path)
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .unionByName(cands.select(F.col("id_b").alias("id")))

@@ -623,6 +623,12 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         ).filter(
             F.col("transcript").isNotNull() & (F.length("transcript") > 0)
         )
+        # one scratch dir for the whole ladder: the verified-pairs stage
+        # materializes its LSH candidates there ("cands" — exchange reuse
+        # does NOT survive AQE at scale, see lsh_verified_pairs docstring)
+        # and connected_components roots its iteration there ("edges",
+        # "round=*", "labels") — filenames are disjoint by construction
+        nd_scratch = os.path.join(cfg.out_dir, "neardup_scratch")
         nd_edges = lsh_verified_pairs(
             ndocs,
             "doc_id",
@@ -630,11 +636,9 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
             max_bucket=cfg.neardup_max_bucket or None,
             threshold=cfg.neardup_threshold,
             prefilter_hot=cfg.neardup_prefilter_hot,
+            scratch_dir=nd_scratch,
         )
-        comps = connected_components(
-            nd_edges,
-            scratch_dir=os.path.join(cfg.out_dir, "neardup_scratch"),
-        )
+        comps = connected_components(nd_edges, scratch_dir=nd_scratch)
         accepted_clones = sorted(
             ((snapshot or {}).get("clones") or {}).get(NEARDUP_RULE_ID, [])
         )

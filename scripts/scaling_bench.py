@@ -108,7 +108,8 @@ for i in range({runs} + 1):  # first run = warmup
         # shape (4.8M candidates -> 1.9M verified pairs -> 27k clusters
         # at x10).
         pairs = lsh_verified_pairs(
-            docs, "doc_id", "transcript", threshold=0.9, max_bucket=64
+            docs, "doc_id", "transcript", threshold=0.9, max_bucket=64,
+            scratch_dir=cc_scratch,
         )
         comps = connected_components(pairs, scratch_dir=cc_scratch)
         n_clusters = comps.select("cluster_id").distinct().count()
@@ -254,15 +255,22 @@ def main() -> None:
 
     # serial/parallel decomposition from min walls:
     # t = W/cores + C  ->  W = (t_lo - t_hi) / (1/n_low - 1/n_high)
-    W = (lo["min"] - hi["min"]) / (1.0 / n_low - 1.0 / n_high)
-    C = max(lo["min"] - W / n_low, 0.0)
+    def decompose(t_lo: float, t_hi: float) -> tuple[float, float]:
+        w = (t_lo - t_hi) / (1.0 / n_low - 1.0 / n_high)
+        return w, max(t_lo - w / n_low, 0.0)
 
-    def projected_eff(scale: float) -> float:
-        tl = scale * W / n_low + C
-        th = scale * W / n_high + C
-        if tl <= 0 or th <= 0:  # validation phase skipped via env
+    def projected(w: float, c: float, scale: float) -> float:
+        tl = scale * w / n_low + c
+        th = scale * w / n_high + c
+        if tl <= 0 or th <= 0:  # phase skipped via env
             return float("nan")
         return (1.0 / th) / (ratio / tl)
+
+    W, C = decompose(lo["min"], hi["min"])
+    W_dd, C_dd = decompose(lo["dedup_min"], hi["dedup_min"])
+
+    def projected_eff(scale: float) -> float:
+        return projected(W, C, scale)
 
     result = {
         "profile": profile,
@@ -284,6 +292,10 @@ def main() -> None:
         "dedup_times_low": lo["dedup_times"],
         "dedup_times_high": hi["dedup_times"],
         "dedup_clusters_identical": dedup_det_ok,
+        "dedup_parallel_work_core_sec": round(W_dd, 1),
+        "dedup_serial_latency_sec": round(C_dd, 2),
+        "dedup_projected_eff_10x_data": round(projected(W_dd, C_dd, 10), 3),
+        "dedup_projected_eff_100x_data": round(projected(W_dd, C_dd, 100), 3),
         "throughput_low_min": (
             round(n_clips / lo["min"], 1) if lo["min"] > 0 else None
         ),
@@ -334,6 +346,8 @@ strictly additive).
 | efficiency of the dedup ladder (LSH→verify→clusters) | {result["dedup_ladder_eff"]} |
 | dedup-ladder walls at N / 4N (s) | {lo["dedup_times"]} / {hi["dedup_times"]} |
 | dedup determinism (identical cluster count, all runs+levels) | {result["dedup_clusters_identical"]} |
+| dedup ladder W (core-s) / serial latency C (s) | {result["dedup_parallel_work_core_sec"]} / {result["dedup_serial_latency_sec"]} |
+| dedup ladder projected efficiency at 10x / 100x data | {result["dedup_projected_eff_10x_data"]} / {result["dedup_projected_eff_100x_data"]} |
 | parallel work W (core-s) / serial driver latency C (s) | {result["parallel_work_core_sec"]} / {result["serial_latency_sec"]} |
 | projected efficiency at 10x data (W scales, C constant) | {result["projected_eff_10x_data"]} |
 | projected efficiency at 100x data | {result["projected_eff_100x_data"]} |

@@ -151,10 +151,14 @@ def test_lsh_verified_pairs_index_is_candidate_confined(spark):
 
 
 def test_lsh_verified_pairs_reuses_exchanges(spark):
-    """The composed ladder references the LSH candidate subplan twice
-    (pair stream + id-set semi-join); its docstring promises Spark reuses
-    those exchanges instead of recomputing the MinHash pipeline.  Reuse
-    only materializes in the AQE-FINAL plan, so assert after an action."""
+    """The lazy (scratch_dir=None) ladder references the LSH candidate
+    subplan twice (pair stream + id-set semi-join); at this scale AQE
+    deduplicates the identical exchanges.  NOTE this is a small-scale
+    courtesy, not a contract: at a 601k-doc corpus the final adaptive plan
+    was measured with ZERO ReusedExchange nodes (MinHash computed twice),
+    which is why scale call-sites pass scratch_dir — see the
+    materialization test below.  Reuse only materializes in the AQE-FINAL
+    plan, so assert after an action."""
     from codeclone_spark.operators import dedup as dd
 
     docs = spark.createDataFrame(
@@ -166,6 +170,28 @@ def test_lsh_verified_pairs_reuses_exchanges(spark):
     final = _plan(pairs)
     assert "isFinalPlan=true" in final
     assert final.count("ReusedExchange") >= 2
+
+
+def test_lsh_verified_pairs_scratch_runs_minhash_once(spark, tmp_path):
+    """With scratch_dir the candidate pairs come from a parquet
+    materialization, so the verify plan contains NO MinHash pipeline at
+    all (md5 appears only in MinHash base hashing — the shingle-array side
+    is md5-free) and the output is identical to the lazy plan's."""
+    from codeclone_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"shared boilerplate text block number {i % 3}") for i in range(24)],
+        ["doc_id", "text"],
+    )
+    lazy = dd.lsh_verified_pairs(docs, "doc_id", "text")
+    mat = dd.lsh_verified_pairs(
+        docs, "doc_id", "text", scratch_dir=str(tmp_path)
+    )
+    body = _plan(mat).split("== Physical Plan ==")[-1]
+    assert "md5" not in body  # upstream consumed exactly once, via scratch
+    assert sorted(map(tuple, mat.collect())) == sorted(
+        map(tuple, lazy.collect())
+    )
 
 
 def test_filter_pushdown_to_parquet(spark, tiny_dir):
