@@ -615,30 +615,70 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
     neardup_metrics: dict[str, Any] = {}
     neardup_stats: tuple[int, int] | None = None
     if cfg.neardup_transcript:
-        from codeclone_spark.operators.dedup import lsh_verified_pairs
-        from codeclone_spark.operators.graph import connected_components
-
-        ndocs = clips.select(
-            F.col("clip_id").alias("doc_id"), "part", "transcript"
-        ).filter(
-            F.col("transcript").isNotNull() & (F.length("transcript") > 0)
-        )
-        # one scratch dir for the whole ladder: the verified-pairs stage
-        # materializes its LSH candidates there ("cands" — exchange reuse
-        # does NOT survive AQE at scale, see lsh_verified_pairs docstring)
-        # and connected_components roots its iteration there ("edges",
-        # "round=*", "labels") — filenames are disjoint by construction
+        # The ladder (LSH -> exact verify -> connected components) is the
+        # run's most expensive stage and is CORPUS-GLOBAL, so it gets its
+        # own signature-keyed resume: the baseline-independent cluster
+        # frame (cluster_id, size, partition) is materialized once per
+        # (corpus data signature, ladder config) and reused on re-runs —
+        # only the cheap known/new join against the baseline's clones
+        # section re-derives (a baseline accept cycle must NOT force a
+        # re-cluster; neither must a crash between sinks).  The ledger
+        # entry rides a reserved pseudo-partition key (NUL byte — can't
+        # collide with a directory name) in the same append-only segments,
+        # and resume additionally demands the parquet _SUCCESS marker so a
+        # torn write never passes.
+        nd_key = "\x00neardup"
         nd_scratch = os.path.join(cfg.out_dir, "neardup_scratch")
-        nd_edges = lsh_verified_pairs(
-            ndocs,
-            "doc_id",
-            "transcript",
-            max_bucket=cfg.neardup_max_bucket or None,
-            threshold=cfg.neardup_threshold,
-            prefilter_hot=cfg.neardup_prefilter_hot,
-            scratch_dir=nd_scratch,
+        nd_clusters_path = os.path.join(cfg.out_dir, "neardup_clusters")
+        nd_sig = hashlib.sha256(
+            json.dumps(
+                {
+                    "sigs": data_sigs,
+                    "threshold": cfg.neardup_threshold,
+                    "max_bucket": cfg.neardup_max_bucket,
+                },
+                sort_keys=True,
+            ).encode()
+        ).hexdigest()
+        nd_prev = ledger.partitions.get(nd_key)
+        nd_resumed = bool(
+            nd_prev
+            and nd_prev.get("neardup_sig") == nd_sig
+            and os.path.exists(os.path.join(nd_clusters_path, "_SUCCESS"))
         )
-        comps = connected_components(nd_edges, scratch_dir=nd_scratch)
+        if not nd_resumed:
+            from codeclone_spark.operators.dedup import lsh_verified_pairs
+            from codeclone_spark.operators.graph import connected_components
+
+            ndocs = clips.select(
+                F.col("clip_id").alias("doc_id"), "part", "transcript"
+            ).filter(
+                F.col("transcript").isNotNull() & (F.length("transcript") > 0)
+            )
+            # one scratch dir for the whole ladder: the verified-pairs
+            # stage materializes its LSH candidates there ("cands" —
+            # exchange reuse does NOT survive AQE at scale, see
+            # lsh_verified_pairs docstring) and connected_components roots
+            # its iteration there ("edges", "round=*", "labels") —
+            # filenames are disjoint by construction
+            nd_edges = lsh_verified_pairs(
+                ndocs,
+                "doc_id",
+                "transcript",
+                max_bucket=cfg.neardup_max_bucket or None,
+                threshold=cfg.neardup_threshold,
+                prefilter_hot=cfg.neardup_prefilter_hot,
+                scratch_dir=nd_scratch,
+            )
+            comps = connected_components(nd_edges, scratch_dir=nd_scratch)
+            comps.join(
+                ndocs.select(F.col("doc_id").alias("id"), "part"), "id"
+            ).groupBy("cluster_id").agg(
+                F.count(F.lit(1)).alias("size"),
+                F.min("part").alias("partition"),
+            ).write.mode("overwrite").parquet(nd_clusters_path)
+            ledger.record(nd_key, {"neardup_sig": nd_sig})
+            ledger.save("neardup")
         accepted_clones = sorted(
             ((snapshot or {}).get("clones") or {}).get(NEARDUP_RULE_ID, [])
         )
@@ -647,18 +687,11 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
                 [(k,) for k in accepted_clones] or [("\x00never",)], ["ckey"]
             ).withColumn("known", F.lit(True))
         )
-        # comps reads from its scratch materialization, so each consumer
-        # below (summary agg, violation sink, baseline keys) costs a tiny
-        # parquet scan + one column-pruned id join — no persist to leak.
+        # every consumer below (summary agg, violation sink, baseline
+        # keys) reads the materialized cluster frame — a tiny parquet
+        # scan + one broadcast join, no persist to leak
         neardup_clusters = (
-            comps.join(
-                ndocs.select(F.col("doc_id").alias("id"), "part"), "id"
-            )
-            .groupBy("cluster_id")
-            .agg(
-                F.count(F.lit(1)).alias("size"),
-                F.min("part").alias("partition"),
-            )
+            spark.read.parquet(nd_clusters_path)
             .withColumn(
                 "ckey",
                 F.concat_ws("|", "cluster_id", F.col("size").cast("string")),
@@ -676,6 +709,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         ).collect()[0]
         neardup_stats = (int(ndr["n_clusters"]), int(ndr["n_new"]))
         neardup_metrics = {
+            "resumed": nd_resumed,
             "threshold": cfg.neardup_threshold,
             "n_clusters": int(ndr["n_clusters"]),
             "n_new": int(ndr["n_new"]),

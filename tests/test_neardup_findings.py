@@ -231,3 +231,36 @@ def test_stage_off_reports_nothing(tiny_run):
     # verdict grid must not assert ok for a stage that never ran
     assert "neardup" not in tiny_run.report["metrics"]
     assert NEARDUP_RULE_ID not in tiny_run.report["findings"]["by_rule"]
+
+
+def test_ladder_resume_signature_keyed(
+    spark, neardup_dir, accepted_baseline, tmp_path_factory
+):
+    """The cluster frame is the run's most expensive product and is
+    baseline-independent, so it resumes by (corpus signature, ladder
+    config) key: a re-run over the same out_dir skips the ladder entirely
+    (resumed=True) and lands on an identical digest; a ladder-config
+    change invalidates the cache and recomputes."""
+    base, _ = accepted_baseline
+    out = str(tmp_path_factory.mktemp("nd_resume"))
+    r1 = run(spark, _cfg(neardup_dir, out, baseline_path=base))
+    assert r1.report["metrics"]["neardup"]["resumed"] is False
+    assert r1.exit_code == EXIT_OK
+    r2 = run(spark, _cfg(neardup_dir, out, baseline_path=base))
+    nd = r2.report["metrics"]["neardup"]
+    assert nd["resumed"] is True
+    assert nd["n_clusters"] == 2 and nd["n_known"] == 2
+    assert (
+        r2.report["integrity"]["run_digest"]
+        == r1.report["integrity"]["run_digest"]
+    )
+    # a ladder-config change is part of the signature: recompute
+    cfg3 = RunConfig(
+        data_dir=neardup_dir,
+        out_dir=out,
+        baseline_path=base,
+        neardup_transcript=True,
+        neardup_threshold=0.85,
+    )
+    r3 = run(spark, cfg3)
+    assert r3.report["metrics"]["neardup"]["resumed"] is False
