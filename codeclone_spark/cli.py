@@ -153,12 +153,19 @@ def main(argv: list[str] | None = None) -> int:
                     print(f"CONTRACT_ERROR: column {c!r} not in input",
                           file=sys.stderr)
                     return EXIT_CONTRACT_ERROR
+            # one scratch dir for the ladder (candidates + CC rounds):
+            # this is the scale entry point, so the upstream pipeline must
+            # compute exactly once (AQE exchange reuse is not a contract —
+            # see lsh_verified_pairs docstring)
+            scratch = f"{args.out_dir.rstrip('/')}/scratch"
             pairs = lsh_verified_pairs(
                 df, args.id_col, args.text_col,
                 max_bucket=args.max_bucket, threshold=args.threshold,
-                prefilter_hot=args.prefilter_hot,
+                prefilter_hot=args.prefilter_hot, scratch_dir=scratch,
             )
-            manifest = keep_list(df, args.id_col, connected_components(pairs))
+            manifest = keep_list(
+                df, args.id_col, connected_components(pairs, scratch_dir=scratch)
+            )
             out = f"{args.out_dir.rstrip('/')}/keep_list"
             # partitioned by verdict so purge consumers prune at the
             # directory level (read only reason=near_duplicate)
