@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_minhash_sigs",
     "dedup_lsh_pairs",
     "dedup_lsh_verified_pairs",
+    "dedup_clusters",
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_srp_buckets",
