@@ -865,6 +865,22 @@ def _lsh_verified_sql() -> str:
     )
 
 
+def _cc_scratch(tag: str) -> str:
+    """Scratch root for the iterative-ladder registry queries.  The
+    operators always materialize through scratch (candidates, CC rounds,
+    labels); on this sandbox the default temp root is a single slow
+    virtio disk, so prefer the RAM-backed /dev/shm when it exists — on a
+    real cluster this would be HDFS/S3 scratch.  One deterministic dir
+    per (query, pid): repeat calls in one session overwrite instead of
+    leaking, separate sessions never collide."""
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    path = os.path.join(base, f"ccspark_q_{tag}_{os.getpid()}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive near-dup CLUSTERS: connected components over the
     composed ladder's verified pairs (reference clone-group formation,
@@ -879,7 +895,7 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5
     )
     return (
-        connected_components(edges)
+        connected_components(edges, scratch_dir=_cc_scratch("clusters"))
         .select(F.col("id").alias("doc_id"), "cluster_id")
         .orderBy("doc_id")
     )
@@ -925,7 +941,9 @@ def dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
     edges = dd.lsh_verified_pairs(
         d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5
     )
-    return cluster_sizes(connected_components(edges)).orderBy("cluster_id")
+    return cluster_sizes(
+        connected_components(edges, scratch_dir=_cc_scratch("sizes"))
+    ).orderBy("cluster_id")
 
 
 def _cluster_sizes_sql() -> str:
@@ -947,7 +965,7 @@ def dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
     edges = dd.lsh_verified_pairs(
         d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5
     )
-    comps = connected_components(edges)
+    comps = connected_components(edges, scratch_dir=_cc_scratch("keep"))
     return (
         keep_list(d, "doc_id", comps)
         .select(F.col("id").alias("doc_id"), "cluster_id", "keep", "reason")
@@ -1007,7 +1025,9 @@ def neardup_cluster_keys(spark: SparkSession, sf: str) -> DataFrame:
         d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5
     )
     return (
-        cluster_sizes(connected_components(edges))
+        cluster_sizes(
+            connected_components(edges, scratch_dir=_cc_scratch("ckeys"))
+        )
         .select(
             F.concat_ws(
                 "|",
