@@ -133,3 +133,26 @@ def test_keep_list_invariants_random(spark, tmp_path):
                 assert r["cluster_id"] == comp[r["id"]]
             else:
                 assert r["reason"] == "unique" and r["cluster_id"] == r["id"]
+
+
+def test_empty_edge_frames(spark, tmp_path):
+    """Zero edges (literal and filtered-to-empty plans) must return an
+    empty (id, cluster_id) frame, not choke on the scratch
+    materialization of an empty frame."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.StringType()),
+            T.StructField("id_b", T.StringType()),
+        ]
+    )
+    literal = spark.createDataFrame([], schema)
+    out = connected_components(literal, scratch_dir=str(tmp_path / "e1"))
+    assert out.count() == 0 and out.columns == ["id", "cluster_id"]
+    filtered = spark.createDataFrame([("a", "b")], schema).filter(
+        F.col("id_a") == "zzz"
+    )
+    out2 = connected_components(filtered, scratch_dir=str(tmp_path / "e2"))
+    assert out2.count() == 0
