@@ -1284,6 +1284,47 @@ def stream_dedup_updates(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, "is_duplicate boolean, n long")
 
 
+def stream_neardup_updates(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental LSH near-dup candidate stream over the clips corpus
+    (streaming/neardup.py: per-row band keys -> applyInPandasWithState
+    bucket memory; anchors are first-seen).  Non-SQL-expressible ->
+    rows-only check; cross-batch semantics and batch-key parity are
+    golden-tested in tests/test_streaming.py.  The summary is
+    anchor-identity-free (counts only) so it is stable under any file
+    arrival order."""
+    import shutil
+    import tempfile
+
+    from codeclone_spark.streaming.neardup import run_stream_neardup
+
+    data_dir = clips_dir_for(sf)
+    tmp = tempfile.mkdtemp(prefix="ccspark_stream_nd_")
+    out, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    try:
+        q = run_stream_neardup(
+            spark, f"{data_dir}/clips/*", out, ckpt, max_files_per_trigger=8
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "stream_neardup_updates: stream did not finish in 600s"
+            )
+        cand = spark.read.parquet(out)
+        row = cand.agg(
+            F.count(F.lit(1)).alias("n_candidate_rows"),
+            F.countDistinct("id").alias("n_flagged_docs"),
+            F.countDistinct("anchor_id").alias("n_anchors"),
+            F.countDistinct("band", "bucket_key").alias("n_hot_buckets"),
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        row,
+        "n_candidate_rows long, n_flagged_docs long, "
+        "n_anchors long, n_hot_buckets long",
+    )
+
+
 # ================================================== audio clips (synth) ----
 def _column_stats_by_part(
     spark: SparkSession, sf: str, col: str, prefix: str
@@ -1712,6 +1753,7 @@ def build_registry() -> dict[str, QueryDef]:
         "clips_dur_hist": QueryDef(clips_dur_hist, _clips_hist_sql()),
         "validation_violations": QueryDef(validation_violations, None),
         "stream_dedup_updates": QueryDef(stream_dedup_updates, None),
+        "stream_neardup_updates": QueryDef(stream_neardup_updates, None),
         "multimodal_image_stats": QueryDef(multimodal_image_stats, None),
         "multimodal_video_stats": QueryDef(multimodal_video_stats, None),
     }

@@ -18,6 +18,7 @@ def test_registry_shape():
     assert set(qs) - set(osql) == {
         "validation_violations",  # full engine run (audio decode)
         "stream_dedup_updates",  # stateful streaming (cross-batch state)
+        "stream_neardup_updates",  # stateful streaming (LSH bucket memory)
         "multimodal_image_stats",  # zlib+pixel decode (snpi container)
         "multimodal_video_stats",  # frame-index demux + frame decode
         "clips_flatness_stats_by_part",  # decode-derived stats column

@@ -26,6 +26,7 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 ROWS_ONLY = [
     "validation_violations",
     "stream_dedup_updates",
+    "stream_neardup_updates",
     "multimodal_image_stats",
     "multimodal_video_stats",
     "clips_flatness_stats_by_part",

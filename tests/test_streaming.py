@@ -164,3 +164,73 @@ def test_stream_drift_monitor(spark, tiny_dir, tmp_path):
         stream_drift_monitor(
             spark, f"{tiny_dir}/clips", base, out2, ckpt2, trigger_once=True
         )
+
+
+def test_stream_neardup_row_keys_match_batch(spark):
+    """The per-row (streaming-safe) band keys must equal the batch
+    pipeline's aggregated keys bit-for-bit — same md5 base, same affine
+    family, same banding — including dropping docs shorter than one
+    shingle (no fabricated empty-key buckets)."""
+    from codeclone_spark.operators.dedup import _banded_signatures
+    from codeclone_spark.streaming.neardup import row_banded_keys
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "the quick brown fox jumps over the lazy dog"),
+            ("d2", "the quick brown fox jumps over the lazy dog"),
+            ("d3", "a completely different transcript body here"),
+            ("d4", "tiny"),  # < k: no shingles, must vanish on BOTH paths
+            ("d5", "exact"),  # == k: exactly one shingle
+        ],
+        ["doc_id", "text"],
+    )
+    batch = {
+        (r["id"], r["band"], r["key"])
+        for r in _banded_signatures(docs, "doc_id", "text", 5, 8, 2).collect()
+    }
+    stream_shape = {
+        (r["id"], r["band"], r["key"])
+        for r in row_banded_keys(docs, "doc_id", "text").collect()
+    }
+    assert stream_shape == batch
+    assert not any(i == "d4" for i, _, _ in batch)
+
+
+def test_stream_neardup_candidates_cross_batch(spark, tmp_path):
+    """A document landing in a bucket an earlier micro-batch populated is
+    flagged against that bucket's first-seen anchor; same-batch
+    collisions are flagged too (sorted -> min id anchors); unique docs
+    are never flagged."""
+    from codeclone_spark.streaming.neardup import run_stream_neardup
+
+    t_shared = "shared boilerplate sentence used by every replica doc"
+    t_pair = "another duplicated transcript for the same batch pair"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [("a1", t_shared), ("u1", "zq08 vlmk 77xd pong erratic owl stew")],
+        [("a2", t_shared), ("u2", "brine falcon 41jk mosaic dune harp 9t")],
+        [("a3", t_shared), ("b1", t_pair), ("b2", t_pair)],
+    ]
+    for i, docs in enumerate(batches):
+        spark.createDataFrame(
+            [
+                (cid, bytearray(b"\x00\x00"), 16000, 10, "pcm_s16le", text, "p0")
+                for cid, text in docs
+            ],
+            "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+            "codec string, transcript string, part string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"f{i}")
+        )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = run_stream_neardup(spark, src + "/*", out, ckpt, max_files_per_trigger=1)
+    assert q.awaitTermination(300)
+    rows = spark.read.parquet(out).collect()
+    flagged = {(r["id"], r["anchor_id"]) for r in rows}
+    # identical texts collide in EVERY band -> one flag per band, same pair
+    assert {p for p in flagged} == {("a2", "a1"), ("a3", "a1"), ("b2", "b1")}
+    # exactly-once per (band, doc): 4 bands x 3 flagged docs
+    assert len(rows) == 12
+    assert not any(r["id"].startswith("u") for r in rows)
