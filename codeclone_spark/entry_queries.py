@@ -39,6 +39,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Scale-adaptive map parallelism for CPU-heavy pipelines over small
+    inputs.  Byte-based input splitting (maxPartitionBytes / openCost)
+    sizes scan tasks for I/O, not per-row CPU: a single few-MB parquet
+    file (50k docs at sf1.0) yields 1-2 scan tasks, and every downstream
+    map-heavy stage (shingle explode + md5 folds, image synth/decode,
+    per-row dot products) inherits that width — measured 24.2 s -> 1.9 s
+    for the sf1.0 MinHash fold on local[32] (guide §2.5 input skew:
+    repartition right after the read).  Round-robin repartition to 2x
+    default parallelism; a no-op whenever the scan already arrives at
+    least that wide (any real-scale input), so nothing here is tuned to
+    the local core count — the target follows the cluster's size."""
+    target = 2 * df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table with map parallelism ensured (see _par): every
+    consumer fans each row out ~300x (char shingles / tokens) or runs
+    per-row Python (image synth), so scan width is the whole ballgame."""
+    return _par(_t(spark, sf_dir, "documents"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings table with map parallelism ensured (see _par): dot
+    products over 64-dim arrays are pure per-row CPU."""
+    return _par(_t(spark, sf_dir, "embeddings"))
+
+
 def _profile_for(sf_dir: str) -> str:
     tail = os.path.basename(sf_dir.rstrip("/"))
     sf = tail[2:] if tail.startswith("sf") else "0.01"
@@ -713,7 +744,7 @@ FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash
 
 def dedup_minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
     """Full MinHash signatures per doc — bit-for-bit oracle-checked."""
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     sh = dd.char_shingles(d, "doc_id", "text")
     return dd.minhash_signatures(sh).orderBy("id")
 
@@ -729,7 +760,7 @@ _LSH_MAX_BUCKET = 40  # below the sf0.01 max bucket (60) so the oracle exercises
 
 
 def dedup_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     # CCSPARK_LSH_PREFILTER_HOT=1 routes the registry query through the
     # buffer-bounded hot-key prefilter (count + broadcast anti-join BEFORE
     # collect_list).  Output is identical by construction — the oracle
@@ -775,7 +806,7 @@ def _lsh_sql() -> str:
 def dedup_lsh_suppressed(spark: SparkSession, sf: str) -> DataFrame:
     """Buckets the LSH candidate join skipped (caps-as-backpressure
     reporting: suppressed counts are surfaced, never silently dropped)."""
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     return dd.lsh_suppressed_buckets(
         d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET
     ).orderBy("band", "key")
@@ -801,7 +832,7 @@ ORDER BY band, key
 
 
 def dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     return dd.jaccard_pairs(d, "doc_id", "text", threshold=0.5).orderBy("id_a", "id_b")
 
 
@@ -827,9 +858,14 @@ def dedup_lsh_verified_pairs(spark: SparkSession, sf: str) -> DataFrame:
     findings/clones/grouping.py:62-86): LSH-banded candidate pairs, then
     exact n-gram Jaccard computed ONLY over the candidate-confined shingle
     index — the 100 TB-safe form of dedup_jaccard_pairs."""
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
+    # scratch: the candidate pairs are consumed twice inside the composed
+    # ladder (pair stream + id-set confinement); materializing them once
+    # keeps the expensive MinHash pipeline single-execution (exchange
+    # reuse is an optimizer courtesy — see lsh_verified_pairs docstring)
     return dd.lsh_verified_pairs(
-        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5
+        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5,
+        scratch_dir=_cc_scratch("verified"),
     ).orderBy("id_a", "id_b")
 
 
@@ -890,9 +926,10 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     bit-for-bit on (doc_id, cluster_id)."""
     from codeclone_spark.operators.graph import connected_components
 
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     edges = dd.lsh_verified_pairs(
-        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5
+        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5,
+        scratch_dir=_cc_scratch("clusters"),
     )
     return (
         connected_components(edges, scratch_dir=_cc_scratch("clusters"))
@@ -937,9 +974,10 @@ def dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
     cluster."""
     from codeclone_spark.operators.graph import cluster_sizes, connected_components
 
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     edges = dd.lsh_verified_pairs(
-        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5
+        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5,
+        scratch_dir=_cc_scratch("sizes"),
     )
     return cluster_sizes(
         connected_components(edges, scratch_dir=_cc_scratch("sizes"))
@@ -961,9 +999,10 @@ def dedup_keep_list(spark: SparkSession, sf: str) -> DataFrame:
     actually materializes and filters ingest against."""
     from codeclone_spark.operators.graph import connected_components, keep_list
 
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     edges = dd.lsh_verified_pairs(
-        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5
+        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5,
+        scratch_dir=_cc_scratch("keep"),
     )
     comps = connected_components(edges, scratch_dir=_cc_scratch("keep"))
     return (
@@ -1020,9 +1059,10 @@ def neardup_cluster_keys(spark: SparkSession, sf: str) -> DataFrame:
         connected_components,
     )
 
-    d = _t(spark, sf, "documents")
+    d = _docs(spark, sf)
     edges = dd.lsh_verified_pairs(
-        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5
+        d, "doc_id", "text", max_bucket=_LSH_MAX_BUCKET, threshold=0.5,
+        scratch_dir=_cc_scratch("ckeys"),
     )
     return (
         cluster_sizes(
@@ -1072,7 +1112,7 @@ SELECT id, ({sig})::BIGINT AS simhash FROM v ORDER BY id
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    e = _t(spark, sf, "embeddings")
+    e = _embs(spark, sf)
     return dd.embedding_neardup_pairs(
         e, "vec_id", "embedding", block_col="label", threshold=0.95
     ).orderBy("id_a", "id_b")
@@ -1181,7 +1221,7 @@ def sim_ivf_assign(spark: SparkSession, sf: str) -> DataFrame:
         "cid BIGINT, cvec ARRAY<DOUBLE>",
     )
     return sim.ivf_assign(
-        e, "vec_id", "embedding", list(range(_IVF_C)), cdf
+        _par(e), "vec_id", "embedding", list(range(_IVF_C)), cdf
     ).orderBy("id")
 
 
@@ -1212,7 +1252,7 @@ def sim_ivf_probe(spark: SparkSession, sf: str) -> DataFrame:
     q = _query_vec(spark, sf)
     rows = e.orderBy("vec_id").limit(_IVF_C).collect()
     centroids = [[float(x) for x in r["embedding"]] for r in rows]
-    return sim.ann_topk_ivf(e, "vec_id", "embedding", q, centroids, k=10)
+    return sim.ann_topk_ivf(_par(e), "vec_id", "embedding", q, centroids, k=10)
 
 
 IVF_PROBE_SQL = f"""
@@ -1596,7 +1636,7 @@ def multimodal_image_stats(spark: SparkSession, sf: str) -> DataFrame:
                  "format": ["snpi"] * len(ids)}
             )
 
-    docs = _t(spark, sf, "documents").select("doc_id")
+    docs = _par(_t(spark, sf, "documents").select("doc_id"))
     blobs = docs.mapInPandas(
         synth, schema="item_id string, payload binary, format string"
     )

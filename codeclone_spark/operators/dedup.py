@@ -348,7 +348,12 @@ def lsh_verified_pairs(
         .unionByName(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = char_shingles(df, id_col, text_col, k)  # set semantics (Jaccard)
+    # RAW shingles (no distinct pre-pass): set semantics lands in the
+    # collect_set aggregation below, so the exact stage pays ONE exchange
+    # on id instead of two (a (id, shingle) distinct exchange followed by
+    # an id exchange) — same arrays-as-sets, one less full shuffle of the
+    # exploded shingle rows.
+    sh = char_shingles(df, id_col, text_col, k, dedupe=False)
     # No broadcast HINT on the candidate-id set: on a dup-heavy corpus the
     # candidates ARE most of the corpus, and a forced broadcast collects
     # the whole set to the driver (measured: >1 GiB / maxResultSize abort
@@ -361,7 +366,7 @@ def lsh_verified_pairs(
     # then a map-side array_intersect per candidate pair: two linear
     # id-keyed joins of the pair list against the array frame (AQE
     # broadcasts the array side when it fits), zero exploded shuffles
-    arrs = sh.groupBy("id").agg(F.collect_list("shingle").alias("arr"))
+    arrs = sh.groupBy("id").agg(F.collect_set("shingle").alias("arr"))
     a_side = arrs.select(
         F.col("id").alias("id_a"),
         F.col("arr").alias("arr_a"),
@@ -460,13 +465,17 @@ def embedding_neardup_pairs(
         lambda acc, x: acc + x,
     )
     cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    # Threshold on the UNROUNDED cosine, round only for output: the SQL
+    # oracle's WHERE clause uses the raw ratio, so a pair whose true cosine
+    # sits within 5e-7 below the threshold must be dropped by both engines
+    # (same edge-class fix as jaccard_pairs / lsh_verified_pairs).
     return (
         a.join(b, F.col("a.blk") == F.col("b.blk"))
         .filter(F.col("a.id") < F.col("b.id"))
+        .filter(cos >= threshold)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(cos, 6).alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
     )

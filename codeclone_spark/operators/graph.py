@@ -91,9 +91,59 @@ def connected_components(
         frame.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
+    # Truncate the INCOMING pair plan first: callers hand in live plans
+    # (the whole LSH → verify ladder), and the normalization below
+    # references `edges` twice (union of both directions) while e2 adds
+    # two more references via `nodes` — without this the upstream ladder
+    # is instantiated up to 4x inside one job (exchange reuse is an
+    # optimizer courtesy, measured absent at scale — see the ladder's own
+    # scratch discipline in dedup.lsh_verified_pairs).  One tiny (src,
+    # dst) parquet write makes the expensive upstream run exactly once.
+    raw = _truncate(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t")), "edges_raw"
+    )
+    # One metadata-cheap count over the scratch parquet serves two jobs at
+    # once: the empty-graph early exit (replacing a separate isEmpty probe
+    # on the label frame) and the loop's shuffle width below.
+    n_pairs = raw.count()
+    if n_pairs == 0:
+        return raw.select(
+            F.col("s").alias("id"), F.col("s").alias("cluster_id")
+        )
+    # Every per-round frame is O(nodes-touched-by-an-edge), known exactly
+    # here — size the loop's shuffles to THAT, not to the session default
+    # tuned for the (much larger) upstream corpus.  With the default width
+    # each tiny round schedules cores-many near-empty tasks per exchange,
+    # and task scheduling dominates the round (measured at sf1.0 / 950
+    # edges on local[32]: 2.9 s -> 1.5 s for the whole CC).  Never raises
+    # the caller's setting; ~50k label rows per partition; AQE stays on,
+    # so genuinely skewed rounds still split.  Restored in the finally.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_sp = max(4, min(int(prev_sp), 2 * n_pairs // 50_000 + 1))
+    pinned: list[DataFrame] = []  # persisted handles, unpersisted on exit
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
+        return _cc_loop(
+            spark, raw, _truncate, max_iter, simple_rounds, pinned
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        for frame in pinned:
+            frame.unpersist()
+
+
+def _cc_loop(
+    spark,
+    raw: DataFrame,
+    _truncate,
+    max_iter: int,
+    simple_rounds: int,
+    pinned: list[DataFrame],
+) -> DataFrame:
+    """Iteration body of :func:`connected_components` (split out so the
+    caller can scope the shuffle-width conf around the whole body)."""
     und = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
-        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        raw.unionByName(raw.select(F.col("t").alias("s"), F.col("s").alias("t")))
         .distinct()
     )
     # Self-loops make one propagation round = "min over self + neighbors"
@@ -142,58 +192,48 @@ def connected_components(
             .isEmpty()
         )
 
-    if labels.isEmpty():  # no edges → no nodes; nothing to iterate
-        out = labels.select("id", F.col("lbl").alias("cluster_id"))
-        labels.unpersist()
-        e2.unpersist()
-        return out
-
-    pinned = [e2, labels]  # every persisted handle, unpersisted before return
-    try:
-        for rnd in range(max_iter):
-            prop = (
-                e2.join(labels.select(F.col("id").alias("s"), "lbl"), "s")
-                .groupBy("t")
-                .agg(F.min("lbl").alias("lbl"))
-                .select(F.col("t").alias("id"), "lbl")
-            )
-            if rnd < simple_rounds:
-                new_labels = prop.persist()
-                pinned.append(new_labels)
-            else:
-                # Pointer doubling: shortcut each label to its label's
-                # label.  prop is persisted + materialized FIRST so the
-                # self-join reads the cache instead of racing two
-                # evaluations of the same uncached subtree.
-                prop = prop.persist()
-                pinned.append(prop)
-                prop.count()
-                mapping = prop.select(
-                    F.col("id").alias("lbl"), F.col("lbl").alias("_lbl2")
-                )
-                doubled = prop.join(mapping, "lbl", "left").select(
-                    "id",
-                    F.least(
-                        F.col("lbl"), F.coalesce(F.col("_lbl2"), F.col("lbl"))
-                    ).alias("lbl"),
-                )
-                new_labels = _truncate(doubled, f"round={rnd}")
-                prop.unpersist()
-            done = _converged(new_labels, labels)
-            labels.unpersist()
-            labels = new_labels
-            if done:
-                final = _truncate(
-                    labels.select("id", F.col("lbl").alias("cluster_id")),
-                    "labels",
-                )
-                return final
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
+    pinned += [e2, labels]
+    for rnd in range(max_iter):
+        prop = (
+            e2.join(labels.select(F.col("id").alias("s"), "lbl"), "s")
+            .groupBy("t")
+            .agg(F.min("lbl").alias("lbl"))
+            .select(F.col("t").alias("id"), "lbl")
         )
-    finally:
-        for frame in pinned:
-            frame.unpersist()
+        if rnd < simple_rounds:
+            new_labels = prop.persist()
+            pinned.append(new_labels)
+        else:
+            # Pointer doubling: shortcut each label to its label's
+            # label.  prop is persisted + materialized FIRST so the
+            # self-join reads the cache instead of racing two
+            # evaluations of the same uncached subtree.
+            prop = prop.persist()
+            pinned.append(prop)
+            prop.count()
+            mapping = prop.select(
+                F.col("id").alias("lbl"), F.col("lbl").alias("_lbl2")
+            )
+            doubled = prop.join(mapping, "lbl", "left").select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("_lbl2"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            new_labels = _truncate(doubled, f"round={rnd}")
+            prop.unpersist()
+        done = _converged(new_labels, labels)
+        labels.unpersist()
+        labels = new_labels
+        if done:
+            final = _truncate(
+                labels.select("id", F.col("lbl").alias("cluster_id")),
+                "labels",
+            )
+            return final
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
 
 
 def cluster_sizes(components: DataFrame) -> DataFrame:

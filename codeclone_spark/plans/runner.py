@@ -24,6 +24,7 @@ import hashlib
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -413,53 +414,77 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         viol = viol.withColumn("_keep", keep).persist()
         # ONE aggregation: true counts + new-vs-known split + suppressed +
         # per-(partition, rule) exemplar digest (digest input bounded by cap).
-        rule_stats = (
-            viol.groupBy("partition", "rule_id")
-            .agg(
-                F.count(F.lit(1)).alias("n_viol"),
-                F.sum(
-                    F.when(F.col("accepted").isNull(), 1).otherwise(0)
-                ).alias("n_new"),
-                F.sum(F.col("_keep").cast("long")).alias("n_kept"),
-                F.sha2(
-                    F.concat_ws(
-                        ";",
-                        F.sort_array(
-                            F.collect_list(
-                                F.when(
-                                    F.col("_keep"),
-                                    F.concat_ws(
-                                        "|", "rule_id", "clip_id", "observed"
-                                    ),
+        def _collect_rule_stats():
+            return (
+                viol.groupBy("partition", "rule_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_viol"),
+                    F.sum(
+                        F.when(F.col("accepted").isNull(), 1).otherwise(0)
+                    ).alias("n_new"),
+                    F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+                    F.sha2(
+                        F.concat_ws(
+                            ";",
+                            F.sort_array(
+                                F.collect_list(
+                                    F.when(
+                                        F.col("_keep"),
+                                        F.concat_ws(
+                                            "|", "rule_id", "clip_id", "observed"
+                                        ),
+                                    )
                                 )
-                            )
+                            ),
                         ),
-                    ),
-                    256,
-                ).alias("digest"),
+                        256,
+                    ).alias("digest"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        (
-            viol.filter(F.col("_keep"))
-            .drop("vkey", "accepted", "_rk", "_keep")
-            .repartition(1 if len(wave) <= 8 else 8)
-            .write.mode("overwrite")
-            .parquet(os.path.join(wave_path, "violations"))
-        )
+
+        def _write_wave_viol() -> None:
+            (
+                viol.filter(F.col("_keep"))
+                .drop("vkey", "accepted", "_rk", "_keep")
+                .repartition(1 if len(wave) <= 8 else 8)
+                .write.mode("overwrite")
+                .parquet(os.path.join(wave_path, "violations"))
+            )
+
+        # Independent consumers of the cached viol frame (stats collect +
+        # exemplar write): overlap them so the second job back-fills the
+        # first's tail (guide §2.6).  Both may race to fill the persist;
+        # the block manager's per-partition compute locks make that safe
+        # (one task computes a partition, the other blocks then reads).
+        with ThreadPoolExecutor(max_workers=2) as _wpool:
+            _f_stats = _wpool.submit(_collect_rule_stats)
+            _f_write = _wpool.submit(_write_wave_viol)
+            rule_stats = _f_stats.result()
+            _f_write.result()
         viol.unpersist()
         _mark("wave_facts_and_row_rules")
 
-        aggs = partition_aggregates(facts).collect()
-        # quantile-sketch partials per registry column: (part, bin) counts
-        # reshaped to the per-partition arrays the ledger merges (tiny
-        # aggregations over the cached facts; see rules.qsk_bin for why
-        # they are separate from the main groupBy)
+        # The two remaining wave aggregations (main partition aggregates +
+        # quantile-sketch partials) both read the already-filled facts
+        # cache and are independent — overlap them (guide §2.6); see
+        # rules.qsk_bin for why the sketch is a separate groupBy.
+        with ThreadPoolExecutor(max_workers=2) as _apool:
+            _f_aggs = _apool.submit(
+                lambda: partition_aggregates(facts).collect()
+            )
+            _f_qsk = _apool.submit(
+                lambda: qsketch_counts_multi(
+                    facts, NUMERIC_STATS_COLUMNS
+                ).collect()
+            )
+            aggs = _f_aggs.result()
+            _qsk_rows = _f_qsk.result()
         nbins_by_col = {s.name: s.nbins for s in NUMERIC_STATS_COLUMNS}
         qsk_by_col: dict[str, dict[str, list[int]]] = {
             s.name: {} for s in NUMERIC_STATS_COLUMNS
         }
-        for r in qsketch_counts_multi(facts, NUMERIC_STATS_COLUMNS).collect():
+        for r in _qsk_rows:
             col_arr = qsk_by_col[r["col"]]
             arr = col_arr.setdefault(
                 r["part"], [0] * nbins_by_col[r["col"]]
@@ -589,6 +614,11 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         .agg(F.count(F.lit(1)).alias("n"), F.min("part").alias("partition"))
         .filter(F.col("n") > 1)
     )
+    # Persisted: the report phase runs three independent actions over this
+    # frame (review-queue top-k, violations write, verdicts write) and each
+    # would otherwise re-scan the full corpus ids and redo the dup groupBy;
+    # the frame itself is tiny (dup exemplars only).  Unpersisted after the
+    # final writes.
     uniq_viol = dup_groups.select(
         F.lit("uniq:clip_id").alias("rule_id"),
         "partition",
@@ -596,7 +626,7 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         F.concat_ws("", F.lit("count="), F.col("n").cast("string")).alias("observed"),
         F.lit("unique clip_id").alias("expected"),
         F.lit(RULE_SEVERITY["uniq:clip_id"]).alias("severity"),
-    )
+    ).persist()
 
     # --- stage 4d (opt-in): near-dup transcript clone groups — the
     # reference's core clone-group loop (pairwise matches -> transitive
@@ -841,6 +871,11 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         )
         counts = counts.drop("_supp")
 
+    # counts feeds the review queue, the dense verdict grid and the gate
+    # arithmetic — three actions; persist the (partition, rule)-sized frame
+    # so the uniq_counts join/groupBy lineage runs once (unpersisted after
+    # the final writes).
+    counts = counts.persist()
     _mark("uniqueness_and_ndv")
     part_rows = spark.createDataFrame(
         [
@@ -1054,30 +1089,46 @@ def run(spark: SparkSession, cfg: RunConfig) -> RunResult:
         # per-rule consumers prune at the directory level.  Rows stay
         # deterministically sorted WITHIN each rule; the run digest folds
         # per-rule digests, so it is independent of this layout change.
-        (
-            all_viol.repartition(F.col("rule_id"))
-            .sortWithinPartitions("rule_id", "partition", "clip_id", "observed")
-            .write.partitionBy("rule_id")
-            .mode("overwrite")
-            .parquet(violations_path)
-        )
-        (
-            verdicts.repartition(F.col("rule_id"))
-            .sortWithinPartitions("rule_id", "partition")
-            .write.partitionBy("rule_id")
-            .mode("overwrite")
-            .parquet(verdicts_path)
-        )
+        def _write_viol() -> None:
+            (
+                all_viol.repartition(F.col("rule_id"))
+                .sortWithinPartitions("rule_id", "partition", "clip_id", "observed")
+                .write.partitionBy("rule_id")
+                .mode("overwrite")
+                .parquet(violations_path)
+            )
+
+        def _write_verd() -> None:
+            (
+                verdicts.repartition(F.col("rule_id"))
+                .sortWithinPartitions("rule_id", "partition")
+                .write.partitionBy("rule_id")
+                .mode("overwrite")
+                .parquet(verdicts_path)
+            )
     else:
         # repartition(1)+sortWithinPartitions = deterministic total order
         # without orderBy's range-sampling pre-job; right for the tiny
         # report tables a single-tenant run produces.
-        all_viol.repartition(1).sortWithinPartitions(
-            "rule_id", "partition", "clip_id", "observed"
-        ).write.mode("overwrite").parquet(violations_path)
-        verdicts.repartition(1).sortWithinPartitions(
-            "partition", "rule_id"
-        ).write.mode("overwrite").parquet(verdicts_path)
+        def _write_viol() -> None:
+            all_viol.repartition(1).sortWithinPartitions(
+                "rule_id", "partition", "clip_id", "observed"
+            ).write.mode("overwrite").parquet(violations_path)
+
+        def _write_verd() -> None:
+            verdicts.repartition(1).sortWithinPartitions(
+                "partition", "rule_id"
+            ).write.mode("overwrite").parquet(verdicts_path)
+
+    # The two sink jobs are independent (different inputs past the shared
+    # cached frames, different output dirs): submit both and let the second
+    # back-fill the first's straggler tail (guide §2.6 overlapping
+    # independent jobs).  Each write's own commit protocol is untouched.
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        for _fut in [_pool.submit(_write_viol), _pool.submit(_write_verd)]:
+            _fut.result()
+    uniq_viol.unpersist()
+    counts.unpersist()
     _mark("final_writes")
 
     final_viol = spark.read.parquet(violations_path)
