@@ -1341,8 +1341,29 @@ def stream_neardup_updates(spark: SparkSession, sf: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="ccspark_stream_nd_")
     out, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
     try:
+        # Stage the corpus files with DETERMINISTIC, strictly increasing
+        # mtimes in sorted-path order: the file stream source batches
+        # files by modification time, and the generated corpus's mtimes
+        # fall in whatever order the writer finished — so which docs
+        # share a micro-batch (and therefore which doc anchors a bucket,
+        # feeding n_anchors / n_flagged_docs) would otherwise change
+        # every time the corpus is regenerated.  Copy + utime pins the
+        # arrival order to the path order, making the summary reproducible
+        # on any host.
+        import glob as _glob
+
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        _files = sorted(
+            _glob.glob(os.path.join(data_dir, "clips", "*", "*.parquet"))
+        )
+        _t0 = 1_600_000_000
+        for _i, _f in enumerate(_files):
+            _dst = os.path.join(src, f"{_i:05d}.parquet")
+            shutil.copy(_f, _dst)
+            os.utime(_dst, (_t0 + _i, _t0 + _i))
         q = run_stream_neardup(
-            spark, f"{data_dir}/clips/*", out, ckpt, max_files_per_trigger=8
+            spark, src, out, ckpt, max_files_per_trigger=8
         )
         if not q.awaitTermination(600):
             q.stop()

@@ -38,6 +38,7 @@ an anchor in several bands emits several rows — consumers dedupe on
 
 from __future__ import annotations
 
+import os
 from typing import Any, Iterator
 
 import pandas as pd
@@ -171,6 +172,21 @@ def stream_neardup_candidates(
     )
 
 
+def batch_sink(out_dir: str):
+    """foreachBatch sink factory: each micro-batch writes its own
+    batch_id=<id> partition dir with overwrite, so an at-least-once
+    retry of the SAME batch replaces its own output instead of
+    append-duplicating it (reader recovers batch_id via partition
+    discovery; same pattern as micro_batch.py's sinks)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={int(batch_id)}")
+        )
+
+    return sink
+
+
 def run_stream_neardup(
     spark: Any,
     clips_stream_dir: str,
@@ -181,7 +197,8 @@ def run_stream_neardup(
 ) -> Any:
     """File-source wiring over the clips corpus (transcript as the
     document text): one micro-batch per *max_files_per_trigger* files,
-    candidate rows appended to parquet via foreachBatch."""
+    candidate rows written per-batch to idempotent batch_id partition
+    dirs via foreachBatch."""
     from codeclone_spark.schema import CLIPS_SCHEMA
 
     stream = (
@@ -197,14 +214,9 @@ def run_stream_neardup(
         stream, "clip_id", "transcript", max_bucket=max_bucket
     )
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
-
     return (
         updates.writeStream.outputMode("update")
-        .foreachBatch(sink)
+        .foreachBatch(batch_sink(out_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

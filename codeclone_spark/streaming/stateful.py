@@ -12,6 +12,7 @@ checkpointed by the streaming engine; memory per key is one long.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Iterator
 
 import pandas as pd
@@ -55,6 +56,21 @@ def stream_dedup_first_seen(ids_stream: DataFrame) -> DataFrame:
     )
 
 
+def batch_sink(out_dir: str):
+    """foreachBatch sink factory: each micro-batch writes its own
+    batch_id=<id> partition dir with overwrite, so an at-least-once
+    retry of the SAME batch replaces its own output instead of
+    append-duplicating it (reader recovers batch_id via partition
+    discovery; same pattern as micro_batch.py's sinks)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={int(batch_id)}")
+        )
+
+    return sink
+
+
 def run_stream_dedup(
     spark: Any,
     clips_stream_dir: str,
@@ -63,10 +79,8 @@ def run_stream_dedup(
     max_files_per_trigger: int = 1,
 ) -> Any:
     """File-source wiring for tests/deployments: one micro-batch per input
-    file (so cross-batch state is actually exercised), update rows appended
-    to parquet via foreachBatch."""
-    from pyspark.sql import functions as F
-
+    file (so cross-batch state is actually exercised), update rows written
+    per-batch to idempotent batch_id partition dirs via foreachBatch."""
     from codeclone_spark.schema import CLIPS_SCHEMA
 
     stream = (
@@ -77,14 +91,9 @@ def run_stream_dedup(
     )
     updates = stream_dedup_first_seen(stream)
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
-
     return (
         updates.writeStream.outputMode("update")
-        .foreachBatch(sink)
+        .foreachBatch(batch_sink(out_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
