@@ -37,6 +37,14 @@ connected component".
    TOUCHED BY AN EDGE (duplicate docs only, not the corpus), so the
    per-round write is small relative to the pair computation upstream.
 
+Skew note: the doubling self-join keys on ``lbl``, which concentrates on
+the component minimum as clusters merge — a single giant component makes
+that one label the hottest possible key.  The join is many-to-one against
+the 1-row-per-id mapping side, so AQE's skew split handles it; probed by
+``tests/test_graph_random.py::test_giant_component_hot_label_key`` (a
+~50k-node single component through the doubling path completes within a
+bounded factor of a uniform graph of the same edge count).
+
 The converged labels are ALWAYS materialized to *scratch_dir* and the
 returned frame reads from there: nothing stays persisted after the call
 returns (repeated calls in a long-lived session leak no cached frames),

@@ -156,3 +156,52 @@ def test_empty_edge_frames(spark, tmp_path):
     )
     out2 = connected_components(filtered, scratch_dir=str(tmp_path / "e2"))
     assert out2.count() == 0
+
+
+def test_giant_component_hot_label_key(spark, tmp_path):
+    """Skew probe for the pointer-doubling self-join (graph.py joins on
+    ``lbl``, which concentrates on the component minimum as clusters
+    merge): one giant ~50k-node component plus uniform background must
+    complete through the doubling path (simple_rounds=0) without the hot
+    label key stalling a round — bounded relative to a same-size uniform
+    graph — and still label every node with the component minimum."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    n = 50_000
+    # giant star: every node joined to node 0 -> after one propagation all
+    # labels collapse onto "000000", the single hottest possible key for
+    # the doubling join's label side
+    giant = spark.range(1, n).select(
+        F.lit("000000").alias("id_a"),
+        F.format_string("%06d", F.col("id")).alias("id_b"),
+    )
+    # uniform background of the same edge count: disjoint 2-node pairs
+    uniform = spark.range(0, n - 1, 2).select(
+        F.format_string("u%06d", F.col("id")).alias("id_a"),
+        F.format_string("u%06d", F.col("id") + 1).alias("id_b"),
+    )
+
+    t0 = time.monotonic()
+    u_out = connected_components(
+        uniform, simple_rounds=0, scratch_dir=str(tmp_path / "uni")
+    )
+    assert u_out.count() == 2 * ((n - 1 + 1) // 2)
+    t_uniform = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    g_out = connected_components(
+        giant.unionByName(uniform),
+        simple_rounds=0,
+        scratch_dir=str(tmp_path / "hot"),
+    )
+    bad = g_out.filter(
+        F.col("id").rlike("^[0-9]") & (F.col("cluster_id") != "000000")
+    ).count()
+    t_hot = time.monotonic() - t0
+    assert bad == 0
+    assert g_out.count() == (n - 1) + 1 + 2 * ((n - 1 + 1) // 2)
+    # hot-key run processes ~2x the edges; allow generous scheduling noise
+    # but fail if the hot label key degrades a round into a straggler wall
+    assert t_hot < 10 * max(t_uniform, 1.0), (t_hot, t_uniform)
