@@ -1221,7 +1221,7 @@ def sim_ivf_assign(spark: SparkSession, sf: str) -> DataFrame:
         "cid BIGINT, cvec ARRAY<DOUBLE>",
     )
     return sim.ivf_assign(
-        _par(e), "vec_id", "embedding", list(range(_IVF_C)), cdf
+        e, "vec_id", "embedding", list(range(_IVF_C)), cdf
     ).orderBy("id")
 
 
@@ -1252,7 +1252,7 @@ def sim_ivf_probe(spark: SparkSession, sf: str) -> DataFrame:
     q = _query_vec(spark, sf)
     rows = e.orderBy("vec_id").limit(_IVF_C).collect()
     centroids = [[float(x) for x in r["embedding"]] for r in rows]
-    return sim.ann_topk_ivf(_par(e), "vec_id", "embedding", q, centroids, k=10)
+    return sim.ann_topk_ivf(e, "vec_id", "embedding", q, centroids, k=10)
 
 
 IVF_PROBE_SQL = f"""
