@@ -1338,7 +1338,11 @@ def stream_neardup_updates(spark: SparkSession, sf: str) -> DataFrame:
     from codeclone_spark.streaming.neardup import run_stream_neardup
 
     data_dir = clips_dir_for(sf)
-    tmp = tempfile.mkdtemp(prefix="ccspark_stream_nd_")
+    # RAM-backed scratch when available: the deterministic staging below
+    # copies the corpus files once, and the default temp root on this
+    # sandbox is a single slow virtio disk (same rationale as _cc_scratch)
+    _tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="ccspark_stream_nd_", dir=_tmp_base)
     out, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
     try:
         # Stage the corpus files with DETERMINISTIC, strictly increasing
