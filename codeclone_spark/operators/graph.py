@@ -127,7 +127,7 @@ def connected_components(
     # the caller's setting; ~50k label rows per partition; AQE stays on,
     # so genuinely skewed rounds still split.  Restored in the finally.
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_sp = max(4, min(int(prev_sp), 2 * n_pairs // 50_000 + 1))
+    loop_sp = min(int(prev_sp), max(4, 2 * n_pairs // 50_000 + 1))
     pinned: list[DataFrame] = []  # persisted handles, unpersisted on exit
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
