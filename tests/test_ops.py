@@ -354,3 +354,56 @@ def test_embedding_neardup_requires_blocking(spark):
         df, "vec_id", "embedding", srp_dim=2, threshold=0.99
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {("v1", "v2")}
+
+
+def test_embedding_neardup_threshold_edge_unrounded(spark):
+    """A pair whose true cosine sits just BELOW the threshold but ROUNDS
+    to it must be dropped: the oracle's WHERE clause filters the raw
+    ratio, so the Spark side must too (round only for output)."""
+    import math
+
+    from codeclone_spark.operators import dedup as dd
+
+    th = 0.98
+    # cosine(v1, v2) = cos(theta) = th - 2.5e-7: below threshold raw,
+    # but round(·, 6) == th — a rounded-threshold filter would keep it
+    theta = math.acos(th - 2.5e-7)
+    rows = [
+        ("a", [1.0, 0.0], "blk"),
+        ("b", [math.cos(theta), math.sin(theta)], "blk"),
+        # and a genuinely-above pair that must survive
+        ("c", [1.0, 0.0], "blk2"),
+        ("d", [1.0, 1e-4], "blk2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>, label string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd.embedding_neardup_pairs(
+            df, "vec_id", "embedding", "label", threshold=th
+        ).collect()
+    }
+    assert got == {("c", "d")}
+
+
+def test_ivf_assign_tiebreak_min_cid(spark):
+    """The argmax aggregation must keep the row_number tie-break: equal
+    cosines (duplicate centroids) resolve to the SMALLEST cid."""
+    from codeclone_spark.operators.similarity import ivf_assign
+
+    e = spark.createDataFrame(
+        [("v1", [1.0, 0.0]), ("v2", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    # cids deliberately unsorted; centroids 2 and 0 are identical, so a
+    # vector nearest that direction has a two-way cosine tie -> cid 0
+    cdf = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cid BIGINT, cvec ARRAY<DOUBLE>",
+    )
+    got = {
+        r["id"]: r["cid"]
+        for r in ivf_assign(e, "vec_id", "embedding", [0, 1, 2], cdf).collect()
+    }
+    assert got == {"v1": 0, "v2": 1}
